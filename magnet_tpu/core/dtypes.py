@@ -1,0 +1,48 @@
+"""Dtype policy for TPU execution.
+
+Parameters and normalization statistics live in float32; matmul/conv compute
+runs in bfloat16 on the MXU. The reference uses CUDA AMP with a GradScaler
+(train_DNet.py:62,96-100); bf16 on TPU keeps fp32's exponent range so no loss
+scaling is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+_NAMES = {
+    "float32": jnp.float32,
+    "f32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def resolve(name) -> jnp.dtype:
+    if isinstance(name, str):
+        return _NAMES[name]
+    return name
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    # Cost-volume geometry (projective division, consistency thresholds) is
+    # precision sensitive; keep it in f32 regardless of the compute dtype.
+    geometry_dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def from_args(args) -> "Policy":
+        return Policy(
+            param_dtype=resolve(getattr(args, "param_dtype", "float32")),
+            compute_dtype=resolve(getattr(args, "compute_dtype", "bfloat16")),
+        )
+
+
+DEFAULT = Policy()
+# Full f32 everywhere — for golden tests against the fp32 reference semantics.
+F32 = Policy(compute_dtype=jnp.float32)

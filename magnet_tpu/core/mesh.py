@@ -1,0 +1,61 @@
+"""Device mesh and sharding helpers.
+
+The reference parallelizes with one process per GPU + NCCL DDP
+(train_DNet.py:180-212,298-324). The TPU-native design is single-controller:
+one `jax.sharding.Mesh` over all chips, with a data axis ("data") for batch
+parallelism and an optional "view" axis used by the multi-view cost volume to
+spread (view x depth-candidate) work at inference. Gradients are reduced by
+XLA collectives inserted automatically from sharding annotations; SyncBN
+falls out for free because batch statistics are computed over the *global*
+(sharded) batch axis under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices=None) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def mesh_from_args(args) -> Mesh:
+    spec = getattr(args, "mesh_shape", "auto")
+    if spec in ("auto", "", None):
+        return make_mesh()
+    return make_mesh(int(spec))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a pytree of host arrays with leading batch dim onto the mesh,
+    split along the data axis (the jax equivalent of DistributedSampler +
+    H2D copies in the reference's per-rank loop, train_DNet.py:79-82)."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,189 @@
+"""Plane-sweep cost volumes, fully vectorized for XLA/TPU.
+
+The geometry core of MaGNet. Two variants mirroring the reference
+(models/submodules/homography.py):
+
+* ``cost_volume_sweep`` — fixed D-plane sweep for F-Net training
+  (est_costvolume_F, homography.py:10-75): project each sweep plane into
+  every source view, warp source features, channel dot-product, average over
+  views, softmax over planes.
+
+* ``cost_volume_cw`` — per-pixel Gaussian-sampled candidates with
+  consistency weighting (est_costvolume_CW, homography.py:79-161): each
+  candidate's matching score is zeroed where the candidate's depth in the
+  source camera disagrees with the source view's own single-view Gaussian
+  (|z - mu_src| >= kappa * sigma_src).
+
+TPU-first design notes (vs the reference's python loops):
+  - The reference loops over batch and view in python with a per-view
+    `.item()` host sync (homography.py:21-30,88-97). Here everything is a
+    single traced program: batch and view are vmapped, validity is a
+    multiplicative mask, and candidates are a tensor axis.
+  - Feature, mu and sigma maps of a source view are concatenated on the
+    channel axis so each (view, candidate) needs ONE bilinear gather instead
+    of three (homography.py:150-152 does three grid_samples).
+  - All geometry runs in float32 (projective division + thresholding are
+    precision sensitive); the feature dot-product can run in bf16.
+
+Layouts are NHWC: features (B, H, W, C); cost volumes (B, H, W, D).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from magnet_tpu.ops.resample import bilinear_gather
+
+_EPS_DIV = 1e-10
+_COORD_CLIP = 10.0
+# Projective geometry must not run through the MXU's bf16 truncation —
+# a 0.1-pixel coordinate error shifts every warp. These matmuls are tiny
+# (3x3 @ 3xHW); full f32 precision costs nothing.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _project(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+             rays2d: jnp.ndarray, d: jnp.ndarray, H: int, W: int):
+    """Project per-pixel candidate depths into a source view.
+
+    K: (3, 3) dpv intrinsics; R: (3, 3); t: (3,); rays2d: (3, H*W);
+    d: (D, H, W) candidate depths.
+    Returns (x, y) pixel coords of shape (D, H, W) — in grid_sample index
+    space (sample position u - 0.5) — and z (D, H, W), the candidate's depth
+    in the source camera.
+    """
+    D = d.shape[0]
+    # Camera-space transform of the rays (homography.py:99-102).
+    Rrays = jnp.matmul(R, rays2d, precision=_HI)
+    term2_cam = Rrays.reshape(3, H, W)                      # (3, H, W)
+    term1_pix = jnp.matmul(K, t[:, None], precision=_HI).reshape(3, 1, 1)
+    term2_pix = jnp.matmul(K, Rrays, precision=_HI).reshape(3, H, W)
+
+    dd = d[:, None, :, :]                                    # (D, 1, H, W)
+    P_pix = term1_pix[None] + term2_pix[None] * dd           # (D, 3, H, W)
+    z = t[2] + term2_cam[2][None] * dd[:, 0]                 # (D, H, W)
+
+    denom = P_pix[:, 2] + _EPS_DIV
+    u = P_pix[:, 0] / denom
+    v = P_pix[:, 1] / denom
+
+    # Normalize exactly like the reference (homography.py:143-148): center
+    # at (W/2, H/2), clip to +-10 in normalized units...
+    gx = jnp.clip((u - W / 2.0) / (W / 2.0), -_COORD_CLIP, _COORD_CLIP)
+    gy = jnp.clip((v - H / 2.0) / (H / 2.0), -_COORD_CLIP, _COORD_CLIP)
+    # ...then unnormalize into align_corners=False index space: x = u - 0.5.
+    x = ((gx + 1.0) * W - 1.0) * 0.5
+    y = ((gy + 1.0) * H - 1.0) * 0.5
+    return x, y, z
+
+
+def _cost_one_view_cw(ref_feat, src_feat, src_mu, src_sigma,
+                      d_volume, K, R, t, rays2d, valid, kappa):
+    """Consistency-weighted matching cost of one (batch, view) pair.
+
+    ref_feat/src_feat: (H, W, C) f32; src_mu/src_sigma: (H, W);
+    d_volume: (D, H, W); valid: scalar {0,1}. Returns (D, H, W).
+    """
+    H, W, C = ref_feat.shape
+    x, y, z = _project(K, R, t, rays2d, d_volume, H, W)
+
+    # One gather for feature + mu + sigma (channel concat).
+    packed = jnp.concatenate(
+        [src_feat, src_mu[..., None], src_sigma[..., None]], axis=-1)
+    warped = bilinear_gather(packed, x, y)                  # (D, H, W, C+2)
+    w_feat = warped[..., :C]
+    w_mu = warped[..., C]
+    w_sigma = warped[..., C + 1]
+
+    feat_cost = jnp.einsum("hwc,dhwc->dhw", ref_feat, w_feat,
+                           precision=_HI)
+
+    depth_diff = jnp.abs(z - w_mu)
+    consistent = (depth_diff < w_sigma * kappa).astype(feat_cost.dtype)
+    return feat_cost * consistent * valid
+
+
+def _cost_one_view_sweep(ref_feat, src_feat, d_center, K, R, t, rays2d, valid):
+    """Fixed-sweep matching cost of one (batch, view) pair.
+    d_center: (D,) sweep depths. Returns (D, H, W)."""
+    H, W, C = ref_feat.shape
+    D = d_center.shape[0]
+    d_volume = jnp.broadcast_to(d_center[:, None, None], (D, H, W))
+    x, y, _ = _project(K, R, t, rays2d, d_volume, H, W)
+    w_feat = bilinear_gather(src_feat, x, y)                # (D, H, W, C)
+    feat_cost = jnp.einsum("hwc,dhwc->dhw", ref_feat, w_feat,
+                           precision=_HI)
+    return feat_cost * valid
+
+
+def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
+                   src_feat: jnp.ndarray, src_mu: jnp.ndarray,
+                   src_sigma: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                   is_valid: jnp.ndarray, intM: jnp.ndarray,
+                   rays2d: jnp.ndarray, kappa: float) -> jnp.ndarray:
+    """Consistency-weighted cost volume (est_costvolume_CW parity).
+
+    d_volume:  (B, H, W, D) per-pixel candidate depths
+    ref_feat:  (B, H, W, C)
+    src_feat:  (B, V, H, W, C)
+    src_mu:    (B, V, H, W) single-view depth means of source views
+    src_sigma: (B, V, H, W) single-view depth stdevs of source views
+    R: (B, V, 3, 3); t: (B, V, 3); is_valid: (B, V)
+    intM: (B, 3, 3); rays2d: (B, 3, H*W); kappa: consistency threshold.
+
+    Returns (B, H, W, D) — sum over valid views divided by V (the reference
+    divides by the static view count, homography.py:120).
+    """
+    B, H, W, D = d_volume.shape
+    V = src_feat.shape[1]
+    f32 = jnp.float32
+
+    dvol = jnp.moveaxis(d_volume, -1, 1).astype(f32)        # (B, D, H, W)
+
+    def per_batch(dvol_b, ref_b, srcf_b, mu_b, sig_b, R_b, t_b, val_b,
+                  K_b, rays_b):
+        def per_view(srcf_v, mu_v, sig_v, R_v, t_v, val_v):
+            return _cost_one_view_cw(
+                ref_b.astype(f32), srcf_v.astype(f32), mu_v.astype(f32),
+                sig_v.astype(f32), dvol_b, K_b.astype(f32), R_v.astype(f32),
+                t_v.astype(f32), rays_b.astype(f32), val_v.astype(f32),
+                kappa)
+        costs = jax.vmap(per_view)(srcf_b, mu_b, sig_b, R_b, t_b, val_b)
+        return jnp.sum(costs, axis=0)                       # (D, H, W)
+
+    cost = jax.vmap(per_batch)(dvol, ref_feat, src_feat, src_mu, src_sigma,
+                               R, t, is_valid, intM, rays2d)
+    cost = cost / float(V)
+    return jnp.moveaxis(cost, 1, -1)                        # (B, H, W, D)
+
+
+def cost_volume_sweep(d_center: jnp.ndarray, ref_feat: jnp.ndarray,
+                      src_feat: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                      is_valid: jnp.ndarray, intM: jnp.ndarray,
+                      rays2d: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-sweep cost volume (est_costvolume_F parity).
+
+    d_center: (D,) sweep plane depths; other args as in `cost_volume_cw`.
+    Returns (B, H, W, D), softmaxed over D (homography.py:45-46).
+    """
+    V = src_feat.shape[1]
+    f32 = jnp.float32
+    d_center = d_center.astype(f32)
+
+    def per_batch(ref_b, srcf_b, R_b, t_b, val_b, K_b, rays_b):
+        def per_view(srcf_v, R_v, t_v, val_v):
+            return _cost_one_view_sweep(
+                ref_b.astype(f32), srcf_v.astype(f32), d_center,
+                K_b.astype(f32), R_v.astype(f32), t_v.astype(f32),
+                rays_b.astype(f32), val_v.astype(f32))
+        costs = jax.vmap(per_view)(srcf_b, R_b, t_b, val_b)
+        return jnp.sum(costs, axis=0)
+
+    cost = jax.vmap(per_batch)(ref_feat, src_feat, R, t, is_valid,
+                               intM, rays2d)
+    cost = cost / float(V)
+    cost = jax.nn.softmax(cost, axis=1)                     # over D
+    return jnp.moveaxis(cost, 1, -1)

@@ -1,0 +1,10 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices so sharding
+tests exercise real multi-device code paths without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()

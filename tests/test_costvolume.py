@@ -1,0 +1,163 @@
+"""Golden tests of the plane-sweep cost volumes against a torch oracle.
+
+The oracle implements the documented reference math (SURVEY.md section 2.1
+component 5 / homography.py semantics): P_pix = K@t + K@R@Ray2D * d,
+normalize, clip +-10, grid_sample warp (bilinear/zeros/align_corners=False),
+channel dot-product, consistency mask |z - mu_src| < kappa*sigma_src,
+view-sum / V [+ softmax over D for the fixed sweep].
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import jax.numpy as jnp
+
+from magnet_tpu.ops import costvolume
+
+
+def _rand_pose(rng, scale=0.08):
+    """Small random rotation + translation (valid-looking camera motion)."""
+    w = rng.randn(3) * scale
+    theta = np.linalg.norm(w)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    R = np.eye(3) + np.sin(theta) / max(theta, 1e-8) * K + \
+        (1 - np.cos(theta)) / max(theta, 1e-8) ** 2 * (K @ K)
+    t = rng.randn(3) * 0.1
+    return R.astype(np.float64), t.astype(np.float64)
+
+
+def _setup(rng, B=2, V=3, D=5, H=12, W=16, C=8):
+    fx, fy = W * 1.2, H * 1.6
+    K = np.array([[fx, 0, W / 2], [0, fy, H / 2], [0, 0, 1.0]])
+    grid = np.ones((H, W, 3))
+    grid[:, :, 0] = np.arange(W)[None] + 0.5
+    grid[:, :, 1] = np.arange(H)[:, None] + 0.5
+    rays = grid.copy()
+    rays[:, :, 0] = (grid[:, :, 0] - K[0, 2]) / K[0, 0]
+    rays[:, :, 1] = (grid[:, :, 1] - K[1, 2]) / K[1, 1]
+    rays2d = rays.transpose(2, 0, 1).reshape(3, -1)
+
+    Rs = np.zeros((B, V, 3, 3))
+    ts = np.zeros((B, V, 3))
+    for b in range(B):
+        for v in range(V):
+            Rs[b, v], ts[b, v] = _rand_pose(rng)
+    is_valid = (rng.rand(B, V) > 0.25).astype(np.float64)
+
+    ref_feat = rng.randn(B, H, W, C)
+    src_feat = rng.randn(B, V, H, W, C)
+    src_mu = rng.uniform(1.0, 4.0, (B, V, H, W))
+    src_sigma = rng.uniform(0.1, 0.8, (B, V, H, W))
+    d_volume = rng.uniform(1.0, 4.0, (B, H, W, D))
+    intM = np.broadcast_to(K, (B, 3, 3)).copy()
+    rays_b = np.broadcast_to(rays2d, (B, 3, H * W)).copy()
+    return dict(K=K, rays2d=rays2d, Rs=Rs, ts=ts, is_valid=is_valid,
+                ref_feat=ref_feat, src_feat=src_feat, src_mu=src_mu,
+                src_sigma=src_sigma, d_volume=d_volume, intM=intM,
+                rays_b=rays_b, dims=(B, V, D, H, W, C))
+
+
+def _torch_warp(feat_chw, x_pix, y_pix, H, W):
+    """grid_sample at reference-normalized coords, clipped +-10."""
+    gx = np.clip((x_pix - W / 2.0) / (W / 2.0), -10.0, 10.0)
+    gy = np.clip((y_pix - H / 2.0) / (H / 2.0), -10.0, 10.0)
+    grid = torch.from_numpy(np.stack([gx, gy], axis=-1)).float()
+    D = grid.shape[0]
+    f = feat_chw[None].repeat(D, 1, 1, 1).float()
+    return tF.grid_sample(f, grid, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)   # (D, C, H, W)
+
+
+def _oracle_cw(s, kappa):
+    B, V, D, H, W, C = s["dims"]
+    out = np.zeros((B, D, H, W))
+    for b in range(B):
+        for v in range(V):
+            if s["is_valid"][b, v] == 0:
+                continue
+            R, t = s["Rs"][b, v], s["ts"][b, v]
+            term1_pix = (s["K"] @ t).reshape(3, 1)
+            term2_pix = (s["K"] @ R @ s["rays2d"])
+            term2_cam = (R @ s["rays2d"])
+            d = s["d_volume"][b].transpose(2, 0, 1).reshape(D, 1, -1)
+            P_pix = term1_pix[None] + term2_pix[None] * d
+            P_pix = P_pix / (P_pix[:, 2:3, :] + 1e-10)
+            z = (t.reshape(3, 1)[None] + term2_cam[None] * d)[:, 2, :]
+            z = z.reshape(D, H, W)
+            x = P_pix[:, 0].reshape(D, H, W)
+            y = P_pix[:, 1].reshape(D, H, W)
+
+            sf = torch.from_numpy(s["src_feat"][b, v].transpose(2, 0, 1))
+            wf = _torch_warp(sf, x, y, H, W).numpy()
+            wmu = _torch_warp(torch.from_numpy(s["src_mu"][b, v][None]),
+                              x, y, H, W).numpy()[:, 0]
+            wsig = _torch_warp(torch.from_numpy(s["src_sigma"][b, v][None]),
+                               x, y, H, W).numpy()[:, 0]
+
+            fc = (s["ref_feat"][b].transpose(2, 0, 1)[None] * wf).sum(1)
+            mask = (np.abs(z - wmu) < wsig * kappa).astype(np.float64)
+            out[b] += fc * mask
+    return out / V
+
+
+def test_cost_volume_cw_matches_oracle():
+    rng = np.random.RandomState(0)
+    s = _setup(rng)
+    kappa = 5.0
+    ref = _oracle_cw(s, kappa)
+
+    ours = costvolume.cost_volume_cw(
+        jnp.asarray(s["d_volume"], jnp.float32),
+        jnp.asarray(s["ref_feat"], jnp.float32),
+        jnp.asarray(s["src_feat"], jnp.float32),
+        jnp.asarray(s["src_mu"], jnp.float32),
+        jnp.asarray(s["src_sigma"], jnp.float32),
+        jnp.asarray(s["Rs"], jnp.float32), jnp.asarray(s["ts"], jnp.float32),
+        jnp.asarray(s["is_valid"], jnp.float32),
+        jnp.asarray(s["intM"], jnp.float32),
+        jnp.asarray(s["rays_b"], jnp.float32), kappa)
+    ours = np.moveaxis(np.asarray(ours), -1, 1)
+    # Consistency mask is a hard threshold: exclude pixels where the
+    # float32-vs-float64 boundary decision could legitimately differ.
+    gap = np.abs(ref - ours)
+    assert np.median(gap) < 1e-5
+    assert (gap < 1e-3).mean() > 0.995
+
+
+def test_cost_volume_sweep_matches_oracle():
+    rng = np.random.RandomState(1)
+    s = _setup(rng, D=7)
+    B, V, D, H, W, C = s["dims"]
+    d_center = np.linspace(1.0, 4.0, D)
+
+    out = np.zeros((B, D, H, W))
+    for b in range(B):
+        for v in range(V):
+            if s["is_valid"][b, v] == 0:
+                continue
+            R, t = s["Rs"][b, v], s["ts"][b, v]
+            term1_pix = (s["K"] @ t).reshape(3, 1)
+            term2_pix = (s["K"] @ R @ s["rays2d"])
+            P_pix = term1_pix[None] + term2_pix[None] * \
+                d_center.reshape(D, 1, 1)
+            P_pix = P_pix / (P_pix[:, 2:3, :] + 1e-10)
+            x = P_pix[:, 0].reshape(D, H, W)
+            y = P_pix[:, 1].reshape(D, H, W)
+            sf = torch.from_numpy(s["src_feat"][b, v].transpose(2, 0, 1))
+            wf = _torch_warp(sf, x, y, H, W).numpy()
+            out[b] += (s["ref_feat"][b].transpose(2, 0, 1)[None] * wf).sum(1)
+    out = out / V
+    ref = torch.softmax(torch.from_numpy(out), dim=1).numpy()
+
+    ours = costvolume.cost_volume_sweep(
+        jnp.asarray(d_center, jnp.float32),
+        jnp.asarray(s["ref_feat"], jnp.float32),
+        jnp.asarray(s["src_feat"], jnp.float32),
+        jnp.asarray(s["Rs"], jnp.float32), jnp.asarray(s["ts"], jnp.float32),
+        jnp.asarray(s["is_valid"], jnp.float32),
+        jnp.asarray(s["intM"], jnp.float32),
+        jnp.asarray(s["rays_b"], jnp.float32))
+    ours = np.moveaxis(np.asarray(ours), -1, 1)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
