@@ -1,0 +1,164 @@
+"""MaGNet: the full multi-view fusion pipeline (reference models/MAGNET.py).
+
+One jitted forward:
+  1. D-Net + F-Net on ref + source frames in a single batched pass
+     (frozen; MAGNET.py:133-144 wraps them in no_grad — here
+     `stop_gradient`).
+  2. N_iter refinement steps (static count, unrolled — 3 iterations;
+     MAGNET.py:151): sample per-pixel depth candidates mu + sigma * k from
+     the current Gaussian (k_list from the inverse normal CDF covering
+     +-beta in equal-probability bins, MAGNET.py:120-128), build the
+     consistency-weighted cost volume, and apply the G-Net residual update.
+     The cost volume and the previous prediction are detached before G-Net
+     exactly as the reference does (MAGNET.py:154,167-168).
+  3. Learned convex upsampling of every post-initial prediction with a
+     shared mask predicted from the D-Net decoder feature
+     (MAGNET.py:171-173).
+
+MAGNET_F (the F-Net training head, MAGNET.py:179-202) is `MagnetF` below:
+F-Net features + fixed 80-plane sweep cost volume.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from magnet_tpu.models.dnet import DNetCoarse
+from magnet_tpu.models.fnet import FNet
+from magnet_tpu.nn.densedepth import _Head
+from magnet_tpu.nn.gnet import GNet
+from magnet_tpu.ops.costvolume import cost_volume_cw, cost_volume_sweep
+from magnet_tpu.ops.upsample import upsample_via_mask
+
+
+def gaussian_sampling_offsets(sampling_range: float,
+                              n_samples: int) -> np.ndarray:
+    """k_list: bin centers (in sigma units) of n equal-probability bins of
+    N(0,1) truncated to +-sampling_range (MAGNET.py:120-128)."""
+    from scipy.special import erf
+    from scipy.stats import norm
+    p_total = erf(sampling_range / np.sqrt(2))
+    idx = np.arange(0, n_samples + 1)
+    p_list = (1 - p_total) / 2 + (idx / n_samples) * p_total
+    k_list = norm.ppf(p_list)
+    return ((k_list[1:] + k_list[:-1]) / 2).astype(np.float32)
+
+
+def parse_weighting(weighting: str) -> float:
+    """'CW5' -> kappa = 5.0 (MAGNET.py:159)."""
+    if not weighting.startswith("CW"):
+        raise ValueError(f"unsupported mvs weighting {weighting!r}")
+    return float(weighting[2:])
+
+
+class Magnet(nn.Module):
+    """Full pipeline. Inputs NHWC; poses/intrinsics as in ops.costvolume."""
+    output_dim: int = 2
+    downsample_ratio: int = 4
+    use_bn: bool = True
+    fnet_feature_dim: int = 64
+    sampling_range: float = 3.0
+    n_samples: int = 5
+    mvs_weighting: str = "CW5"
+    n_iters: int = 3
+    dnet_feature_dim: int = 256
+
+    @nn.compact
+    def __call__(self, ref_img: jnp.ndarray, src_imgs: jnp.ndarray,
+                 src_R: jnp.ndarray, src_t: jnp.ndarray,
+                 is_valid: jnp.ndarray, intM: jnp.ndarray,
+                 rays2d: jnp.ndarray, train: bool = False,
+                 n_iters: int = None) -> List[jnp.ndarray]:
+        """ref_img: (B, H, W, 3); src_imgs: (B, V, H, W, 3);
+        src_R: (B, V, 3, 3); src_t: (B, V, 3); is_valid: (B, V);
+        intM: (B, 3, 3); rays2d: (B, 3, h*w) at dpv resolution.
+        Returns a list of n_iters upsampled (B, H, W, 2) (mu, sigma) maps.
+        """
+        B, V = src_imgs.shape[0], src_imgs.shape[1]
+        H, W = ref_img.shape[1], ref_img.shape[2]
+        n_iters = n_iters if n_iters is not None else self.n_iters
+        kappa = parse_weighting(self.mvs_weighting)
+        k_list = gaussian_sampling_offsets(self.sampling_range,
+                                           self.n_samples)
+
+        # ---- Frozen single-view + matching backbones, one batched pass
+        all_imgs = jnp.concatenate(
+            [ref_img, src_imgs.reshape(B * V, H, W, 3)], axis=0)
+
+        mono, feat_d = DNetCoarse(
+            output_dim=self.output_dim,
+            downsample_ratio=self.downsample_ratio,
+            use_bn=self.use_bn, name="d_net")(all_imgs, train=False)
+        mono = jax.lax.stop_gradient(mono)
+        feat_d = jax.lax.stop_gradient(feat_d)
+        ref_gauss = mono[:B]                               # (B, h, w, 2)
+        src_gauss = mono[B:].reshape(B, V, *mono.shape[1:])
+        x_d3 = feat_d[:B]                                  # (B, h, w, 256)
+
+        feat_m = FNet(feature_dim=self.fnet_feature_dim,
+                      name="f_net")(all_imgs, train=False)
+        feat_m = jax.lax.stop_gradient(feat_m)
+        ref_feat = feat_m[:B]
+        src_feat = feat_m[B:].reshape(B, V, *feat_m.shape[1:])
+
+        src_mu = src_gauss[..., 0]
+        src_sigma = src_gauss[..., 1]
+
+        # ---- Iterative Gaussian refinement (static unroll)
+        ks = jnp.asarray(k_list)                           # (D,)
+        g_net = GNet(name="g_net")                         # shared weights
+        pred_list = [ref_gauss]
+        for _ in range(n_iters):
+            prev = jax.lax.stop_gradient(pred_list[-1])
+            mu, sigma = prev[..., 0], prev[..., 1]
+            d_volume = mu[..., None] + sigma[..., None] * ks   # (B,h,w,D)
+
+            cv = cost_volume_cw(d_volume, ref_feat, src_feat, src_mu,
+                                src_sigma, src_R, src_t, is_valid, intM,
+                                rays2d, kappa)
+            cv = jax.lax.stop_gradient(cv)
+
+            gnet_in = jnp.concatenate([cv.astype(x_d3.dtype), x_d3], axis=-1)
+            new_pred = g_net(gnet_in, prev)
+            pred_list.append(new_pred)
+
+        # ---- Shared learned upsampling
+        k = self.downsample_ratio
+        mask = _Head(9 * k * k, name="mask_head")(x_d3)
+        return [upsample_via_mask(p, mask, k) for p in pred_list[1:]]
+
+
+class MagnetF(nn.Module):
+    """F-Net training head: features + fixed-sweep cost volume
+    (MAGNET.py:179-202). d_center: (D,) sweep depths.
+    Returns (B, h, w, D) softmaxed cost volume."""
+    fnet_feature_dim: int = 64
+
+    @nn.compact
+    def __call__(self, ref_img, src_imgs, src_R, src_t, is_valid, intM,
+                 rays2d, d_center, train: bool = False):
+        B, V = src_imgs.shape[0], src_imgs.shape[1]
+        H, W = ref_img.shape[1], ref_img.shape[2]
+        all_imgs = jnp.concatenate(
+            [ref_img, src_imgs.reshape(B * V, H, W, 3)], axis=0)
+        feat = FNet(feature_dim=self.fnet_feature_dim,
+                    name="f_net")(all_imgs, train=train)
+        ref_feat = feat[:B]
+        src_feat = feat[B:].reshape(B, V, *feat.shape[1:])
+        return cost_volume_sweep(d_center, ref_feat, src_feat, src_R,
+                                 src_t, is_valid, intM, rays2d)
+
+
+def sid_depth_centers(d_min: float, d_max: float, n_bins: int) -> np.ndarray:
+    """DORN-style SID sweep depths used for F-Net training
+    (train_FNet.py:55-65): bin centers of exp(log(d_max + g) * i / N) - g
+    with shift g = 1 - d_min, i = 0..N."""
+    g = 1.0 - d_min
+    idx = np.arange(n_bins + 1)
+    edges = np.exp(np.log(d_max + g) * idx / n_bins) - g
+    return ((edges[:-1] + edges[1:]) / 2).astype(np.float32)

@@ -1,0 +1,108 @@
+"""DenseDepth: EfficientNet-B5 U-Net for single-view Gaussian depth (D-Net).
+
+Flax re-design of the reference D-Net body (models/submodules/
+D_dense_depth.py): the B5 encoder's feature pyramid feeds a U-Net decoder
+whose blocks bilinearly upsample (align_corners=True), concat the skip, and
+apply two conv+norm+LeakyReLU stages — BatchNorm or GroupNorm+weight-
+standardized convs (D_dense_depth.py:29-59). A 3-layer head predicts
+(mu, sigma-param); with learned upsampling a second head predicts the
+RAFT-style convex-combination mask (D_dense_depth.py:148-160).
+
+downsample_ratio selects decoder depth: 8 -> up1..2 (i_dim 512),
+4 -> up1..3 (i_dim 256), 2 -> up1..4 (i_dim 128) (D_dense_depth.py:120-145).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magnet_tpu.nn.efficientnet import EfficientNetB5Features
+from magnet_tpu.nn.layers import (BatchNorm, Conv, GroupNorm, WSConv,
+                                  leaky_relu, relu)
+from magnet_tpu.ops.resample import resize_bilinear_align_corners
+from magnet_tpu.ops.upsample import upsample_bilinear, upsample_via_mask
+
+
+class UpSampleBN(nn.Module):
+    """[upsample -> concat skip] -> (conv3x3-BN-LeakyReLU) x2."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        up = resize_bilinear_align_corners(x, skip.shape[-3], skip.shape[-2])
+        y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
+        y = Conv(self.features, 3, padding=1, name="conv_a")(y)
+        y = BatchNorm(name="bn_a")(y, train)
+        y = leaky_relu(y)
+        y = Conv(self.features, 3, padding=1, name="conv_b")(y)
+        y = BatchNorm(name="bn_b")(y, train)
+        return leaky_relu(y)
+
+
+class UpSampleGN(nn.Module):
+    """Same, with weight-standardized convs + GroupNorm(8)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        up = resize_bilinear_align_corners(x, skip.shape[-3], skip.shape[-2])
+        y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
+        y = WSConv(self.features, 3, padding=1, name="conv_a")(y)
+        y = GroupNorm(8, name="gn_a")(y)
+        y = leaky_relu(y)
+        y = WSConv(self.features, 3, padding=1, name="conv_b")(y)
+        y = GroupNorm(8, name="gn_b")(y)
+        return leaky_relu(y)
+
+
+class _Head(nn.Module):
+    """conv3x3 -> ReLU -> conv1x1 -> ReLU -> conv1x1 (depth & mask heads)."""
+    out_ch: int
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        y = relu(Conv(self.hidden, 3, padding=1, name="conv0")(x))
+        y = relu(Conv(self.hidden, 1, name="conv1")(y))
+        return Conv(self.out_ch, 1, name="conv2")(y)
+
+
+class DenseDepth(nn.Module):
+    """Full D-Net body. Returns:
+      as_dnet=True:  (B, k*h, k*w, num_classes) learned-upsampled output
+      as_dnet=False: ((B, h, w, num_classes), (B, h, w, i_dim) feature)
+    where (h, w) = input/downsample_ratio (D_dense_depth.py:186-195).
+    """
+    num_classes: int = 2
+    downsample_ratio: int = 4
+    learned_upsampling: bool = True
+    use_bn: bool = True
+    as_dnet: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f4, f5, f6, f8, f11 = EfficientNetB5Features(name="encoder")(
+            x, train)
+
+        Up = UpSampleBN if self.use_bn else UpSampleGN
+        n_ups = {8: 2, 4: 3, 2: 4}[self.downsample_ratio]
+        skips = [f8, f6, f5, f4][:n_ups]
+        feats = 2048
+
+        y = Conv(feats, 1, name="conv2")(f11)
+        for i, skip in enumerate(skips):
+            y = Up(feats >> (i + 1), name=f"up{i + 1}")(y, skip, train)
+
+        depth = _Head(self.num_classes, name="depth_head")(y)
+
+        if not self.as_dnet:
+            return depth, y
+
+        if self.learned_upsampling:
+            k = self.downsample_ratio
+            mask = _Head(9 * k * k, name="mask_head")(y)
+            return upsample_via_mask(depth, mask, k)
+        return upsample_bilinear(depth, None, self.downsample_ratio)

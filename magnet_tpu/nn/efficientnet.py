@@ -1,0 +1,180 @@
+"""EfficientNet-B5 encoder (the ``tf_efficientnet_b5_ap`` variant), Flax NHWC.
+
+The reference's D-Net encoder is ``tf_efficientnet_b5_ap`` from torch.hub
+(rwightman/gen-efficientnet-pytorch; D_dense_depth.py:10-11), consumed as a
+feature pyramid: the decoder taps ``features[4, 5, 6, 8, 11]`` of the list
+[input, stem_conv, stem_bn, stem_act, block_stage_0..6, conv_head, ...]
+(D_dense_depth.py:17-25,167), i.e. the outputs of block stages 0/1/2/4 and
+the (pre-BN) head conv:
+
+    tap        stage       stride   channels (B5)
+    f4         blocks[0]   /2       24
+    f5         blocks[1]   /4       40
+    f6         blocks[2]   /8       64
+    f8         blocks[4]   /16      176
+    f11        conv_head   /32      2048
+
+"tf_" semantics reproduced here: TF-SAME (asymmetric) conv padding,
+BatchNorm eps 1e-3, swish activations, squeeze-excitation ratio 0.25 of each
+block's *input* channels. Stochastic depth (drop-connect 0.2, linearly
+scaled per block) applies at training time only.
+
+Module/parameter names mirror the torch state-dict layout
+(conv_stem/bn1/blocks.i.j.{conv_pw,bn1,conv_dw,bn2,se,conv_pwl,bn3}/
+conv_head/bn2) so checkpoint conversion is mechanical.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magnet_tpu.nn.layers import BatchNorm, Conv, drop_path, swish
+
+BN_EPS_TF = 1e-3
+
+
+def round_channels(ch: float, multiplier: float, divisor: int = 8) -> int:
+    """EfficientNet channel rounding (make_divisible)."""
+    ch *= multiplier
+    new_ch = max(divisor, int(ch + divisor / 2) // divisor * divisor)
+    if new_ch < 0.9 * ch:
+        new_ch += divisor
+    return int(new_ch)
+
+
+def round_repeats(repeats: int, multiplier: float) -> int:
+    return int(math.ceil(multiplier * repeats))
+
+
+# Base (B0) stage definitions: (block_type, kernel, stride, expand, out_ch,
+# repeats). B5: width x1.6, depth x2.2.
+_B0_STAGES = (
+    ("ds", 3, 1, 1, 16, 1),
+    ("ir", 3, 2, 6, 24, 2),
+    ("ir", 5, 2, 6, 40, 2),
+    ("ir", 3, 2, 6, 80, 3),
+    ("ir", 5, 1, 6, 112, 3),
+    ("ir", 5, 2, 6, 192, 4),
+    ("ir", 3, 1, 6, 320, 1),
+)
+
+
+def b5_stage_config():
+    """Per-block config list-of-stages for B5 (width 1.6, depth 2.2)."""
+    width, depth = 1.6, 2.2
+    stages = []
+    in_ch = round_channels(32, width)          # stem: 48
+    for (btype, k, s, e, c, n) in _B0_STAGES:
+        out_ch = round_channels(c, width)
+        blocks = []
+        for i in range(round_repeats(n, depth)):
+            blocks.append(dict(
+                btype=btype, kernel=k, stride=s if i == 0 else 1,
+                expand=e, in_ch=in_ch, out_ch=out_ch))
+            in_ch = out_ch
+        stages.append(blocks)
+    return stages
+
+
+class SqueezeExcite(nn.Module):
+    """SE gate: pool -> reduce 1x1 -> swish -> expand 1x1 -> sigmoid."""
+    reduced_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        se = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        se = Conv(self.reduced_ch, 1, use_bias=True, name="conv_reduce")(se)
+        se = swish(se)
+        se = Conv(ch, 1, use_bias=True, name="conv_expand")(se)
+        return x * nn.sigmoid(se).astype(x.dtype)
+
+
+class DepthwiseSeparable(nn.Module):
+    """Stage-0 block: dw conv -> BN -> swish -> SE -> pw conv -> BN."""
+    cfg: dict
+    dp_rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        shortcut = x
+        y = Conv(c["in_ch"], c["kernel"], c["stride"], padding="SAME",
+                 groups=c["in_ch"], use_bias=False, name="conv_dw")(x)
+        y = BatchNorm(eps=BN_EPS_TF, name="bn1")(y, train)
+        y = swish(y)
+        y = SqueezeExcite(max(1, int(c["in_ch"] * 0.25)), name="se")(y)
+        y = Conv(c["out_ch"], 1, use_bias=False, name="conv_pw")(y)
+        y = BatchNorm(eps=BN_EPS_TF, name="bn2")(y, train)
+        if c["in_ch"] == c["out_ch"] and c["stride"] == 1:
+            if train and self.dp_rate > 0:
+                y = drop_path(y, self.dp_rate, deterministic=not train,
+                              rng=self.make_rng("droppath"))
+            y = y + shortcut
+        return y
+
+
+class InvertedResidual(nn.Module):
+    """MBConv: pw expand -> dw -> SE -> pw linear, residual when possible."""
+    cfg: dict
+    dp_rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        shortcut = x
+        mid = c["in_ch"] * c["expand"]
+        y = Conv(mid, 1, use_bias=False, name="conv_pw")(x)
+        y = BatchNorm(eps=BN_EPS_TF, name="bn1")(y, train)
+        y = swish(y)
+        y = Conv(mid, c["kernel"], c["stride"], padding="SAME", groups=mid,
+                 use_bias=False, name="conv_dw")(y)
+        y = BatchNorm(eps=BN_EPS_TF, name="bn2")(y, train)
+        y = swish(y)
+        y = SqueezeExcite(max(1, int(c["in_ch"] * 0.25)), name="se")(y)
+        y = Conv(c["out_ch"], 1, use_bias=False, name="conv_pwl")(y)
+        y = BatchNorm(eps=BN_EPS_TF, name="bn3")(y, train)
+        if c["in_ch"] == c["out_ch"] and c["stride"] == 1:
+            if train and self.dp_rate > 0:
+                y = drop_path(y, self.dp_rate, deterministic=not train,
+                              rng=self.make_rng("droppath"))
+            y = y + shortcut
+        return y
+
+
+class EfficientNetB5Features(nn.Module):
+    """Returns the 5 decoder taps (f4, f5, f6, f8, f11); see module doc."""
+    drop_connect_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        stages = b5_stage_config()
+        n_blocks = sum(len(s) for s in stages)
+
+        y = Conv(48, 3, 2, padding="SAME", use_bias=False,
+                 name="conv_stem")(x)
+        y = BatchNorm(eps=BN_EPS_TF, name="bn1")(y, train)
+        y = swish(y)
+
+        taps = {}
+        block_idx = 0
+        for si, stage in enumerate(stages):
+            for bi, cfg in enumerate(stage):
+                dp = self.drop_connect_rate * block_idx / n_blocks
+                cls = DepthwiseSeparable if cfg["btype"] == "ds" \
+                    else InvertedResidual
+                y = cls(cfg, dp, name=f"blocks_{si}_{bi}")(y, train)
+                block_idx += 1
+            taps[si] = y
+
+        head = Conv(2048, 1, use_bias=False, name="conv_head")(y)
+        # NOTE: the decoder consumes the head conv *before* bn2/act
+        # (features[11] in D_dense_depth.py:167 is the raw conv output).
+        # bn2 params still exist in checkpoints; keep them for conversion
+        # completeness.
+        _ = BatchNorm(eps=BN_EPS_TF, name="bn2")(head, train)
+        return [taps[0], taps[1], taps[2], taps[4], head]

@@ -1,0 +1,124 @@
+"""PSM-Net 2-D feature extractor (F-Net body), Flax NHWC.
+
+Re-design of the reference matching-feature network (models/submodules/
+F_psmnet.py): stride-2 stem of three conv-BN-ReLU layers, four residual
+stages (32x3, 64x16 s2, 128x3, 128x3 dil2), a 4-branch spatial pyramid
+pooling (avg pool 64/32/16/8 -> 1x1 conv-BN-ReLU -> bilinear
+align_corners=True resize back), concat to 320 channels, and a final
+3x3 conv-BN-ReLU + 1x1 projection to ``feature_dim``. Output stride 4.
+
+Conv weights use Kaiming-normal fan-out init (F_psmnet.py:71-85).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magnet_tpu.nn.layers import BatchNorm, relu
+from magnet_tpu.ops.resample import avg_pool, resize_bilinear_align_corners
+
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_out",
+                                            "truncated_normal")
+
+
+def _kaiming_normal(key, shape, dtype=jnp.float32):
+    import jax
+    fan_out = shape[0] * shape[1] * shape[3]    # k*k*out_ch
+    std = (2.0 / fan_out) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class ConvBN(nn.Module):
+    """conv (no bias) + BN; dilation>1 implies padding=dilation
+    (F_psmnet.py:10-15)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation if self.dilation > 1 else self.pad
+        y = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, kernel_init=_kaiming_normal,
+                    name="conv")(x)
+        return BatchNorm(name="bn")(y, train)
+
+
+class BasicBlock(nn.Module):
+    """Residual block; NO activation after the sum (F_psmnet.py:28-34)."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = relu(ConvBN(self.planes, 3, self.stride, 1, self.dilation,
+                        name="convbn1")(x, train))
+        y = ConvBN(self.planes, 3, 1, 1, self.dilation,
+                   name="convbn2")(y, train)
+        if self.has_downsample:
+            x = nn.Conv(self.planes, (1, 1), strides=(self.stride,
+                                                      self.stride),
+                        use_bias=False, kernel_init=_kaiming_normal,
+                        name="down_conv")(x)
+            x = BatchNorm(name="down_bn")(x, train)
+        return y + x
+
+
+class PSMNet(nn.Module):
+    feature_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # Stem (stride 2)
+        y = relu(ConvBN(32, 3, 2, 1, name="firstconv0")(x, train))
+        y = relu(ConvBN(32, 3, 1, 1, name="firstconv1")(y, train))
+        y = relu(ConvBN(32, 3, 1, 1, name="firstconv2")(y, train))
+
+        # Residual stages: (planes, blocks, stride, dilation)
+        stage_cfg = [(32, 3, 1, 1), (64, 16, 2, 1),
+                     (128, 3, 1, 1), (128, 3, 1, 2)]
+        in_planes = 32
+        outputs = []
+        for li, (planes, blocks, stride, dil) in enumerate(stage_cfg, 1):
+            for bi in range(blocks):
+                s = stride if bi == 0 else 1
+                down = bi == 0 and (s != 1 or in_planes != planes)
+                y = BasicBlock(planes, s, dil, down,
+                               name=f"layer{li}_{bi}")(y, train)
+                in_planes = planes
+            outputs.append(y)
+
+        out_raw = outputs[1]          # after layer2 (stride 4, 64ch)
+        out_skip = outputs[3]         # after layer4 (128ch)
+        H, W = out_skip.shape[-3], out_skip.shape[-2]
+
+        # SPP: 4 average-pool branches resized back (align_corners=True).
+        # Window clamped to the feature size so tiny inputs stay valid;
+        # at the reference resolutions (>=88x304 post-stride-4) this is
+        # the identity and matches AvgPool2d exactly.
+        branches = []
+        for bi, win in enumerate([64, 32, 16, 8], 1):
+            win = min(win, H, W)
+            b = avg_pool(out_skip, win, win)
+            b = relu(ConvBN(32, 1, 1, 0, name=f"branch{bi}")(b, train))
+            branches.append(resize_bilinear_align_corners(b, H, W))
+
+        # Concat order: raw, skip, branch4, branch3, branch2, branch1
+        # (F_psmnet.py:122).
+        cat = jnp.concatenate(
+            [out_raw, out_skip, branches[3], branches[2], branches[1],
+             branches[0]], axis=-1)
+        y = relu(ConvBN(128, 3, 1, 1, name="lastconv0")(cat, train))
+        y = nn.Conv(self.feature_dim, (1, 1), use_bias=False,
+                    kernel_init=_kaiming_normal, name="lastconv1")(y)
+        return y
