@@ -1,0 +1,43 @@
+"""Orbax checkpointing.
+
+The reference saves weights-only torch dicts at every validation point and
+cannot resume optimizer/schedule state (train_DNet.py:113-115; SURVEY.md
+section 5). Here the full TrainState (params, batch_stats, optimizer state,
+step) is checkpointed — resume continues the LR schedule exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save(ckpt_dir: str, state, step: Optional[int] = None) -> str:
+    """Save a TrainState under ckpt_dir/<step>."""
+    step = int(state.step) if step is None else int(step)
+    path = os.path.join(os.path.abspath(ckpt_dir), f"{step:010d}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore(ckpt_dir: str, target, step: Optional[int] = None):
+    """Restore into the structure of ``target`` (a template TrainState)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = os.path.join(os.path.abspath(ckpt_dir), f"{step:010d}")
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target)
