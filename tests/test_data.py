@@ -1,0 +1,144 @@
+"""Tests of the data pipeline: window logic, augmentation math, loader
+sharding/batching, KITTI calibration + OXTS pose math, synthetic data."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from magnet_tpu.data import base, kitti, synthetic
+
+
+def _args(**kw):
+    d = dict(input_width=64, input_height=48, dpv_width=16, dpv_height=12,
+             MAGNET_num_source_views=4, MAGNET_window_radius=20,
+             batch_size=2, workers=2, seed=0)
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+def test_window_indices():
+    # reference: radius 20, V=4 -> interval 10 -> offsets [-20,-10,0,10,20]
+    offs, interval = base.window_indices(4, 20)
+    assert offs == [-20, -10, 0, 10, 20]
+    assert interval == 10
+    offs, interval = base.window_indices(2, 10)
+    assert offs == [-10, 0, 10] and interval == 10
+
+
+def test_fallback_index():
+    exists = lambda i: i >= 0
+    assert base.fallback_index(5, -10, 10, exists) == 5 + 10 + 5
+    assert base.fallback_index(50, -10, 10, exists) == 40
+    assert base.fallback_index(50, 10, 10, exists) == 60
+
+
+def test_color_augment_math():
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 8, 3).astype(np.float32)
+    g, b, c = 1.05, 1.2, np.array([0.95, 1.0, 1.08], np.float32)
+    out = base.color_augment(img, g, b, c)
+    ref = np.clip((img ** g) * b * c[None, None, :], 0, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_synthetic_multiview_item_schema():
+    ds = synthetic.SyntheticMultiView(_args(), "train", length=4)
+    it = ds.get(0)
+    assert it["ref_img"].shape == (48, 64, 3)
+    assert it["src_imgs"].shape == (4, 48, 64, 3)
+    assert it["depth"].shape == (48, 64)
+    assert it["R"].shape == (4, 3, 3) and it["t"].shape == (4, 3)
+    assert it["is_valid"].shape == (4,) and np.all(it["is_valid"] == 1)
+    assert it["intM"].shape == (3, 3)
+    assert it["rays2d"].shape == (3, 16 * 12)
+    # determinism
+    it2 = ds.get(0)
+    np.testing.assert_array_equal(it["ref_img"], it2["ref_img"])
+
+
+def test_loader_batching_and_sharding():
+    ds = synthetic.SyntheticSingleView(_args(), "train", length=20)
+    loader = base.Loader(ds, batch_size=4, train=True, seed=1,
+                         num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 5
+    assert batches[0]["img"].shape == (4, 48, 64, 3)
+
+    # two hosts partition one permutation
+    l0 = base.Loader(ds, batch_size=2, train=True, seed=3, host_index=0,
+                     host_count=2, num_workers=1)
+    l1 = base.Loader(ds, batch_size=2, train=True, seed=3, host_index=1,
+                     host_count=2, num_workers=1)
+    i0, i1 = l0._indices(), l1._indices()
+    assert len(set(i0) & set(i1)) == 0
+    assert len(i0) == len(i1) == 10
+
+    # eval: sequential, batch 1 semantics preserved by caller
+    le = base.Loader(ds, batch_size=1, train=False)
+    assert len(le) == 20
+
+
+def test_loader_epoch_reshuffles():
+    ds = synthetic.SyntheticSingleView(_args(), "train", length=32)
+    loader = base.Loader(ds, batch_size=4, train=True, seed=0,
+                         num_workers=1)
+    a = loader._indices().copy()
+    loader.epoch += 1
+    b = loader._indices()
+    assert not np.array_equal(a, b)
+
+
+def test_kitti_calib_and_oxts(tmp_path):
+    date_dir = tmp_path / "2011_01_01"
+    date_dir.mkdir()
+    R_vi = np.eye(3).reshape(-1)
+    (date_dir / "calib_imu_to_velo.txt").write_text(
+        "R: " + " ".join(map(str, R_vi)) + "\nT: 0.1 0.2 0.3\n")
+    (date_dir / "calib_velo_to_cam.txt").write_text(
+        "R: " + " ".join(map(str, R_vi)) + "\nT: 0 0 0\n")
+    P = np.array([[700.0, 0, 600, 44.8], [0, 700, 180, 0],
+                  [0, 0, 1, 0]]).reshape(-1)
+    (date_dir / "calib_cam_to_cam.txt").write_text(
+        "R_rect_00: " + " ".join(map(str, np.eye(3).reshape(-1))) + "\n"
+        "P_rect_02: " + " ".join(map(str, P)) + "\n")
+
+    K, T_cam2_imu = kitti.load_calib(str(date_dir))
+    assert K[0, 0] == 700 and K[0, 2] == 600
+    # T2 translation = P[0,3]/P[0,0] then the imu->velo shift
+    np.testing.assert_allclose(T_cam2_imu[:3, 3],
+                               [0.1 + 44.8 / 700.0, 0.2, 0.3], atol=1e-9)
+
+    # OXTS: pure yaw rotation + mercator displacement
+    rows = [np.array([49.0, 8.43, 110.0, 0.0, 0.0, 0.0]),
+            np.array([49.0, 8.4301, 110.0, 0.0, 0.0, np.pi / 2])]
+    poses = kitti.oxts_poses(rows)
+    np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-9)
+    scale = np.cos(49.0 * np.pi / 180)
+    dx = scale * 0.0001 * np.pi * 6378137.0 / 180.0
+    np.testing.assert_allclose(poses[1][0, 3], dx, rtol=1e-6)
+    np.testing.assert_allclose(poses[1][:3, :3],
+                               [[0, -1, 0], [1, 0, 0], [0, 0, 1]],
+                               atol=1e-12)
+
+
+def test_kitti_intrinsics_crop_shift():
+    args = _args(input_width=1216, input_height=352, dpv_width=304,
+                 dpv_height=88, dataset_path="/nonexistent",
+                 data_augmentation_color=False)
+    # bypass __init__ file IO
+    ds = object.__new__(kitti.KittiMultiView)
+    ds.img_w, ds.img_h = 1216, 352
+    ds.dpv_w, ds.dpv_h = 304, 88
+    K_cam2 = np.array([[720.0, 0, 610.0], [0, 720.0, 175.0], [0, 0, 1.0]])
+    intM, rays2d = ds._intrinsics(K_cam2, 1242, 375)
+    left, top = int((1242 - 1216) / 2), 375 - 352
+    assert np.isclose(intM[0, 0], 720 * 304 / 1216)
+    assert np.isclose(intM[0, 2], (610 - left) * 304 / 1216)
+    assert np.isclose(intM[1, 2], (175 - top) * 88 / 352)
+    # ray through dpv pixel center projects back to that pixel with intM
+    proj = intM @ rays2d
+    proj = proj / proj[2:3]
+    u = proj[0].reshape(88, 304)
+    np.testing.assert_allclose(u[0], np.arange(304) + 0.5, atol=1e-3)
