@@ -162,6 +162,11 @@ def _add_tpu_flags(p):
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--data_format", type=str, default="auto",
                    help="{auto, scannet, kitti, 7scenes, synthetic}")
+    p.add_argument("--synthetic_length", type=int, default=64,
+                   help="items per split for the synthetic dataset")
+    # duplicated into test parsers too (conflict_handler='resolve' keeps
+    # the train parsers' definition authoritative)
+    p.add_argument("--workers", default=4, type=int)
 
 
 # ---------------------------------------------------------------------------

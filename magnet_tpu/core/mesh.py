@@ -32,10 +32,18 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def mesh_from_args(args) -> Mesh:
+    """Data mesh from flags; 'auto' uses the most devices that evenly
+    divide the global batch size (a 2-sample batch on an 8-chip host runs
+    2-way)."""
     spec = getattr(args, "mesh_shape", "auto")
+    n_avail = len(jax.devices())
     if spec in ("auto", "", None):
-        return make_mesh()
-    return make_mesh(int(spec))
+        batch = int(getattr(args, "batch_size", 0) or 0)
+        if batch <= 0:
+            return make_mesh()
+        n = max(d for d in range(1, n_avail + 1) if batch % d == 0)
+        return make_mesh(n)
+    return make_mesh(min(int(spec), n_avail))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

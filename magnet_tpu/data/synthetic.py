@@ -49,8 +49,8 @@ def _small_pose(rng, rot_scale=0.02, t_scale=0.05):
 
 
 class SyntheticMultiView:
-    def __init__(self, args, mode: str, length: int = 64):
-        self.length = length
+    def __init__(self, args, mode: str, length: int = None):
+        self.length = length or getattr(args, "synthetic_length", 64)
         self.img_w, self.img_h = args.input_width, args.input_height
         self.dpv_w, self.dpv_h = args.dpv_width, args.dpv_height
         self.n_views = args.MAGNET_num_source_views
@@ -85,8 +85,8 @@ class SyntheticMultiView:
 
 
 class SyntheticSingleView:
-    def __init__(self, args, mode: str, length: int = 64):
-        self.length = length
+    def __init__(self, args, mode: str, length: int = None):
+        self.length = length or getattr(args, "synthetic_length", 64)
         self.img_w, self.img_h = args.input_width, args.input_height
 
     def __len__(self):

@@ -32,12 +32,21 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore(ckpt_dir: str, target, step: Optional[int] = None):
-    """Restore into the structure of ``target`` (a template TrainState)."""
-    if step is None:
-        step = latest_step(ckpt_dir)
+def restore(ckpt_dir: str, target=None, step: Optional[int] = None):
+    """Restore into the structure of ``target`` (a template TrainState),
+    or as a raw tree when target is None. ``ckpt_dir`` may be either a
+    parent directory of step checkpoints or one step directory itself."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    base = os.path.basename(ckpt_dir.rstrip("/"))
+    if base.isdigit() and step is None:
+        path = ckpt_dir
+    else:
         if step is None:
-            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
-    path = os.path.join(os.path.abspath(ckpt_dir), f"{step:010d}")
+            step = latest_step(ckpt_dir)
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        path = os.path.join(ckpt_dir, f"{step:010d}")
     ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(path)
     return ckptr.restore(path, target)

@@ -1,0 +1,72 @@
+"""End-to-end smoke tests of the public entry points on the synthetic
+dataset at tiny resolutions — the CLI surface (@file configs), train loop,
+checkpointing, and eval harness all in one pass."""
+
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+
+def _write_cfg(path, lines):
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def _run(script, cfg):
+    argv = sys.argv
+    sys.argv = [script, cfg]
+    try:
+        runpy.run_path(script, run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
+_COMMON = ["--dataset_name synthetic", "--dataset_path /tmp/none",
+           "--input_height 64", "--input_width 64",
+           "--min_depth 1e-3", "--max_depth 10.0",
+           "--synthetic_length 4", "--workers 1", "--log_every 1"]
+
+
+def test_train_and_test_dnet_end_to_end(tmp_path):
+    exp = tmp_path / "exp"
+    cfg = _write_cfg(tmp_path / "dnet.txt", [
+        "--exp_name t", f"--exp_dir {exp}", "--visible_gpus 0",
+        "--output_dim 2", "--output_type G", "--downsample_ratio 4",
+        "--DNET_architecture DenseDepth_BN",
+        "--n_epochs 1", "--batch_size 2", "--validate_every 1000000",
+        "--visualize_every 1000000",
+        "--crop_height 64", "--crop_width 64", "--lr 1e-4",
+        ] + _COMMON)
+    _run("train_DNet.py", cfg)
+
+    model_dir = exp / "t" / "models"
+    ckpts = sorted(os.listdir(model_dir))
+    assert ckpts, "no checkpoint written"
+    assert (exp / "t" / "log" / "eval_acc.txt").exists()
+
+    cfg2 = _write_cfg(tmp_path / "dnet_test.txt", [
+        "--exp_name t2", f"--exp_dir {exp}", "--visible_gpus 0",
+        "--output_dim 2", "--output_type G", "--downsample_ratio 4",
+        "--DNET_architecture DenseDepth_BN",
+        f"--ckpt_path {model_dir / ckpts[-1]}",
+        ] + _COMMON)
+    _run("test_DNet.py", cfg2)
+    acc = (exp / "t2" / "log" / "test_acc.txt").read_text()
+    assert "abs_rel" in acc
+
+
+def test_train_fnet_end_to_end(tmp_path):
+    exp = tmp_path / "exp"
+    cfg = _write_cfg(tmp_path / "fnet.txt", [
+        "--exp_name f", f"--exp_dir {exp}", "--visible_gpus 0",
+        "--FNET_feature_dim 16", "--FNET_num_depth_bins 8",
+        "--MAGNET_window_radius 4", "--MAGNET_num_source_views 2",
+        "--n_epochs 1", "--batch_size 2", "--validate_every 1000000",
+        "--visualize_every 1000000", "--lr 1e-4",
+        "--dpv_height 16", "--dpv_width 16",
+        ] + _COMMON)
+    _run("train_FNet.py", cfg)
+    assert sorted(os.listdir(exp / "f" / "models"))
