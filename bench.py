@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: full MaGNet multi-view inference throughput on one chip.
+
+Measures frames/sec of the flagship pipeline at the reference's ScanNet
+evaluation shape (640x480, V=4 source views, D=5 candidates, 3 refinement
+iterations, batch 1 — test_scripts/magnet/scannet.txt), end to end: D-Net +
+F-Net on all 5 frames, 3x consistency-weighted cost volume + G-Net, learned
+upsampling.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline}.
+
+vs_baseline: BASELINE.json's speed target is >=5x a PyTorch-GPU reference
+that publishes no throughput numbers. We anchor on an estimated 5 frames/s
+for the reference pipeline on a contemporary GPU (EffNet-B5 + PSM-Net on
+5 frames at 480x640 plus 12 python-loop grid_sample warps x 3 iterations),
+so vs_baseline = fps / (5 * 5). A measured torch anchor can replace the
+estimate in a later round.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magnet_tpu.models.magnet import Magnet
+
+H, W, V = 480, 640, 4
+ASSUMED_REF_GPU_FPS = 5.0
+TARGET_MULTIPLIER = 5.0
+
+
+def example_inputs(batch=1):
+    rng = np.random.RandomState(0)
+    h, w = H // 4, W // 4
+    fx = 0.9 * W / 4
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
+    grid = np.ones((h, w, 3), np.float32)
+    grid[:, :, 0] = (np.arange(w)[None] + 0.5 - K[0, 2]) / K[0, 0]
+    grid[:, :, 1] = (np.arange(h)[:, None] + 0.5 - K[1, 2]) / K[1, 1]
+    rays = grid.transpose(2, 0, 1).reshape(3, -1)
+    return (
+        jnp.asarray(rng.rand(batch, H, W, 3), jnp.float32),
+        jnp.asarray(rng.rand(batch, V, H, W, 3), jnp.float32),
+        jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (batch, V, 1, 1))),
+        jnp.asarray(rng.randn(batch, V, 3).astype(np.float32) * 0.05),
+        jnp.ones((batch, V), jnp.float32),
+        jnp.asarray(np.tile(K, (batch, 1, 1))),
+        jnp.asarray(np.tile(rays, (batch, 1, 1))),
+    )
+
+
+def main():
+    model = Magnet(n_iters=3)
+    inputs = example_inputs()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+
+    # The timing loop lives INSIDE jit: N data-dependent forwards per
+    # dispatch, so per-call host->device dispatch latency (large behind a
+    # TPU tunnel, where block_until_ready can also return early) cannot
+    # pollute the measurement. fps = N / (t_N - t_0 overhead), with the
+    # one-iteration run subtracted as the dispatch/transfer baseline.
+    def forward_n(n):
+        @jax.jit
+        def run(variables, ref_img, *rest):
+            def body(_, carry):
+                out = model.apply(variables, carry, *rest,
+                                  train=False)[-1]
+                # next input depends on this output -> serialized on device
+                return carry + 0.0 * out[..., :1]
+            return jax.lax.fori_loop(0, n, body, ref_img)
+        return run
+
+    run1, runN = forward_n(1), forward_n(8)
+    float(run1(variables, *inputs)[0, 0, 0, 0])     # compile + warmup
+    float(runN(variables, *inputs)[0, 0, 0, 0])
+
+    def timed(run):
+        t0 = time.perf_counter()
+        float(run(variables, *inputs)[0, 0, 0, 0])  # forces full execution
+        return time.perf_counter() - t0
+
+    t1 = min(timed(run1) for _ in range(3))
+    tN = min(timed(runN) for _ in range(3))
+    dt = (tN - t1) / (8 - 1)
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "magnet_scannet_multiview_inference",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip (640x480, V=4, 3 iters)",
+        "vs_baseline": round(
+            fps / (ASSUMED_REF_GPU_FPS * TARGET_MULTIPLIER), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
