@@ -51,10 +51,19 @@ def example_inputs(batch=1):
     )
 
 
-def main():
+def main(compute_dtype=jnp.bfloat16):
+    from magnet_tpu.core.dtypes import cast_floating
+
     model = Magnet(n_iters=3)
     inputs = example_inputs()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+
+    def cast_in(variables, ref_img, src_imgs, *rest):
+        # bf16 conv compute; geometry tensors stay f32 (recast internally)
+        v = {"params": cast_floating(variables["params"], compute_dtype),
+             "batch_stats": variables["batch_stats"]}
+        return (v, ref_img.astype(compute_dtype),
+                src_imgs.astype(compute_dtype)) + rest
 
     # The timing loop lives INSIDE jit: N data-dependent forwards per
     # dispatch, so per-call host->device dispatch latency (large behind a
@@ -64,12 +73,13 @@ def main():
     def forward_n(n):
         @jax.jit
         def run(variables, ref_img, *rest):
+            cvars, cref, csrc, *crest = cast_in(variables, ref_img, *rest)
             def body(_, carry):
-                out = model.apply(variables, carry, *rest,
+                out = model.apply(cvars, carry, csrc, *crest,
                                   train=False)[-1]
                 # next input depends on this output -> serialized on device
-                return carry + 0.0 * out[..., :1]
-            return jax.lax.fori_loop(0, n, body, ref_img)
+                return carry + 0.0 * out[..., :1].astype(carry.dtype)
+            return jax.lax.fori_loop(0, n, body, cref)
         return run
 
     run1, runN = forward_n(1), forward_n(8)

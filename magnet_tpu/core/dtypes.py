@@ -46,3 +46,22 @@ class Policy:
 DEFAULT = Policy()
 # Full f32 everywhere — for golden tests against the fp32 reference semantics.
 F32 = Policy(compute_dtype=jnp.float32)
+
+
+def cast_floating(tree, dtype):
+    """Cast floating-point leaves of a pytree (params or inputs) to dtype.
+
+    The bf16 execution strategy: master params stay f32; inside the jitted
+    forward/loss both params and image inputs are cast to bf16, so every
+    conv contracts bf16 x bf16 with f32 accumulation on the MXU.
+    Precision-sensitive code paths (BatchNorm statistics, projective
+    geometry, the cost volume, Gaussian activations, losses) internally
+    recast to f32, so this cast only affects conv/matmul compute.
+    """
+    import jax
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, tree)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from magnet_tpu.core.dtypes import cast_floating
 from magnet_tpu.train import losses
 
 
@@ -44,9 +45,12 @@ def _apply_updates(state: TrainState, grads, tx) -> TrainState:
                          opt_state=new_opt)
 
 
-def make_dnet_train_step(model, tx, max_depth: float, min_depth: float):
+def make_dnet_train_step(model, tx, max_depth: float, min_depth: float,
+                         compute_dtype=jnp.float32):
     """batch: img (B,H,W,3), depth (B,H,W). GT clamping as in
-    train_DNet.py:81-82: depth > max -> 0, mask = depth > min."""
+    train_DNet.py:81-82: depth > max -> 0, mask = depth > min.
+    With compute_dtype=bf16, master params stay f32 and the cast happens
+    inside loss_fn (grads flow through the cast back to f32)."""
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -57,10 +61,11 @@ def make_dnet_train_step(model, tx, max_depth: float, min_depth: float):
         state = state.replace(rng=rng)
 
         def loss_fn(params):
+            cparams = cast_floating(params, compute_dtype)
             out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["img"], train=True, mutable=["batch_stats"],
-                rngs={"droppath": step_rng})
+                {"params": cparams, "batch_stats": state.batch_stats},
+                batch["img"].astype(compute_dtype), train=True,
+                mutable=["batch_stats"], rngs={"droppath": step_rng})
             loss = losses.dnet_loss(out, gt, mask)
             return loss, updates["batch_stats"]
 
@@ -74,7 +79,7 @@ def make_dnet_train_step(model, tx, max_depth: float, min_depth: float):
 
 
 def make_fnet_train_step(model, tx, d_center, max_depth: float,
-                         min_depth: float):
+                         min_depth: float, compute_dtype=jnp.float32):
     """batch: ref/src imgs + geometry; GT nearest-downsampled to dpv res
     on the host. Loss: L1 on soft-argmax depth (train_FNet.py:96-106)."""
 
@@ -85,9 +90,11 @@ def make_fnet_train_step(model, tx, d_center, max_depth: float,
         mask = gt > min_depth
 
         def loss_fn(params):
+            cparams = cast_floating(params, compute_dtype)
             cv, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["ref_img"], batch["src_imgs"], batch["R"],
+                {"params": cparams, "batch_stats": state.batch_stats},
+                batch["ref_img"].astype(compute_dtype),
+                batch["src_imgs"].astype(compute_dtype), batch["R"],
                 batch["t"], batch["is_valid"], batch["intM"],
                 batch["rays2d"], jnp.asarray(d_center), train=True,
                 mutable=["batch_stats"])
@@ -105,7 +112,8 @@ def make_fnet_train_step(model, tx, d_center, max_depth: float,
 
 
 def make_magnet_train_step(model, tx, gamma: float, max_depth: float,
-                           min_depth: float, n_iters: int):
+                           min_depth: float, n_iters: int,
+                           compute_dtype=jnp.float32):
     """Full-pipeline stage: only g_net/mask_head receive gradients (the
     optimizer zeroes the rest; the model stop-gradients the frozen
     backbones). D-Net/F-Net run in eval mode inside the model, matching
@@ -118,9 +126,11 @@ def make_magnet_train_step(model, tx, gamma: float, max_depth: float,
         mask = gt > min_depth
 
         def loss_fn(params):
+            cparams = cast_floating(params, compute_dtype)
             preds = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["ref_img"], batch["src_imgs"], batch["R"],
+                {"params": cparams, "batch_stats": state.batch_stats},
+                batch["ref_img"].astype(compute_dtype),
+                batch["src_imgs"].astype(compute_dtype), batch["R"],
                 batch["t"], batch["is_valid"], batch["intM"],
                 batch["rays2d"], train=True, n_iters=n_iters)
             return losses.magnet_loss(preds, gt, mask, gamma)

@@ -10,7 +10,7 @@ exp/<name>/log/test_acc.txt.
 
 import jax
 
-from magnet_tpu.core import config
+from magnet_tpu.core import config, dtypes
 from magnet_tpu.data import make_singleview_loader
 from magnet_tpu.eval import harness, metrics
 from magnet_tpu.models import build
@@ -31,9 +31,13 @@ def main():
     variables = build.load_dnet_checkpoint(variables, args.ckpt_path)
     print("loading checkpoint... / done")
 
+    cdt = dtypes.resolve(args.compute_dtype)
+
     @jax.jit
     def forward(img):
-        return model.apply(variables, img, train=False)
+        v = {"params": dtypes.cast_floating(variables["params"], cdt),
+             "batch_stats": variables["batch_stats"]}
+        return model.apply(v, img.astype(cdt), train=False)
 
     loader = make_singleview_loader(args, _TEST_MODES[args.dataset_name])
     m = harness.evaluate_dnet(forward, loader, args)

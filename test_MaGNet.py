@@ -9,7 +9,7 @@ DNET/FNET/MAGNET checkpoints, evaluates per image, logs the metric table.
 import jax
 import jax.numpy as jnp
 
-from magnet_tpu.core import config
+from magnet_tpu.core import config, dtypes
 from magnet_tpu.data import make_multiview_loader
 from magnet_tpu.eval import harness, metrics
 from magnet_tpu.models import build
@@ -32,11 +32,15 @@ def main():
     print("loading checkpoints... / done")
 
     n_iters = args.MAGNET_num_test_iter
+    cdt = dtypes.resolve(args.compute_dtype)
 
     @jax.jit
     def forward(ref_img, src_imgs, R, t, is_valid, intM, rays2d):
-        preds = model.apply(variables, ref_img, src_imgs, R, t, is_valid,
-                            intM, rays2d, train=False, n_iters=n_iters)
+        v = {"params": dtypes.cast_floating(variables["params"], cdt),
+             "batch_stats": variables["batch_stats"]}
+        preds = model.apply(v, ref_img.astype(cdt), src_imgs.astype(cdt),
+                            R, t, is_valid, intM, rays2d, train=False,
+                            n_iters=n_iters)
         return preds[-1]
 
     def forward_batch(batch):

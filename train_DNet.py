@@ -64,8 +64,10 @@ def main():
         print(f"resumed from step {int(state.step)}")
     state = mesh_lib.replicate(mesh, state)
 
-    step_fn = steps.make_dnet_train_step(model, tx, args.max_depth,
-                                         args.min_depth)
+    from magnet_tpu.core import dtypes
+    step_fn = steps.make_dnet_train_step(
+        model, tx, args.max_depth, args.min_depth,
+        compute_dtype=dtypes.resolve(args.compute_dtype))
     eval_model, _ = build.build_dnet(args)   # full-resolution graph
 
     def run_validation(state):

@@ -76,8 +76,10 @@ def main():
         print(f"resumed from step {int(state.step)}")
     state = mesh_lib.replicate(mesh, state)
 
-    step_fn = steps.make_fnet_train_step(model, tx, d_center,
-                                         args.max_depth, args.min_depth)
+    from magnet_tpu.core import dtypes
+    step_fn = steps.make_fnet_train_step(
+        model, tx, d_center, args.max_depth, args.min_depth,
+        compute_dtype=dtypes.resolve(args.compute_dtype))
 
     @jax.jit
     def vis_forward(state, batch):

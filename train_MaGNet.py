@@ -63,9 +63,11 @@ def main():
         print(f"resumed from step {int(state.step)}")
     state = mesh_lib.replicate(mesh, state)
 
+    from magnet_tpu.core import dtypes
     step_fn = steps.make_magnet_train_step(
         model, tx, gamma=args.loss_gamma, max_depth=args.max_depth,
-        min_depth=args.min_depth, n_iters=args.MAGNET_num_train_iter)
+        min_depth=args.min_depth, n_iters=args.MAGNET_num_train_iter,
+        compute_dtype=dtypes.resolve(args.compute_dtype))
     eval_fn = steps.make_magnet_eval_fn(model,
                                         n_iters=args.MAGNET_num_test_iter)
 
