@@ -32,14 +32,18 @@ def test_sharded_dnet_train_step_matches_single_device():
     step = steps.make_dnet_train_step(model, tx, max_depth=10.0,
                                       min_depth=1e-3)
 
+    def fresh(v):
+        # the step donates its input state; give each state its own buffers
+        return jax.tree.map(jnp.array, v)
+
     # Single device
-    state1 = steps.TrainState.create(variables, tx)
+    state1 = steps.TrainState.create(fresh(variables), tx)
     state1, m1 = step(state1, {"img": jnp.asarray(img),
                                "depth": jnp.asarray(depth)})
 
     # Sharded across the mesh
     m = mesh_lib.make_mesh()
-    state2 = steps.TrainState.create(variables, tx)
+    state2 = steps.TrainState.create(fresh(variables), tx)
     state2 = mesh_lib.replicate(m, state2)
     batch = mesh_lib.shard_batch(m, {"img": jnp.asarray(img),
                                      "depth": jnp.asarray(depth)})
@@ -47,10 +51,14 @@ def test_sharded_dnet_train_step_matches_single_device():
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
+    # Adam normalizes near-zero gradients to +-lr, so psum reduction-order
+    # noise can flip single-element updates; bound the check by ~2x the
+    # first-step update magnitude (catches unsynced gradients, which
+    # would differ at parameter scale).
     for a, b in zip(jax.tree.leaves(state1.params),
                     jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5)
+                                   atol=2e-4)
     # Batch stats must be the global-batch stats on every replica.
     for a, b in zip(jax.tree.leaves(state1.batch_stats),
                     jax.tree.leaves(state2.batch_stats)):
