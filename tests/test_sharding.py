@@ -59,11 +59,12 @@ def test_sharded_dnet_train_step_matches_single_device():
                     jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4)
-    # Batch stats must be the global-batch stats on every replica.
+    # Batch stats must be the global-batch stats on every replica
+    # (reduction-order fp noise allowed).
     for a, b in zip(jax.tree.leaves(state1.batch_stats),
                     jax.tree.leaves(state2.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5)
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_shard_batch_places_on_data_axis():
