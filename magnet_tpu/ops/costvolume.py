@@ -35,7 +35,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from magnet_tpu.ops.resample import bilinear_gather
+from magnet_tpu.ops.resample import bilinear_gather_block as bilinear_gather
 
 _EPS_DIV = 1e-10
 _COORD_CLIP = 10.0

@@ -66,6 +66,48 @@ def bilinear_gather(feat: jnp.ndarray, x: jnp.ndarray,
     return out
 
 
+def bilinear_gather_block(feat: jnp.ndarray, x: jnp.ndarray,
+                          y: jnp.ndarray) -> jnp.ndarray:
+    """Same semantics as `bilinear_gather`, restructured for TPU: ONE
+    lax.gather of a (2, 2, C) corner block per sample instead of four
+    single-row gathers (4x fewer gather slices — the per-slice overhead
+    dominates TPU gather cost). Corner weights are computed as
+    max(0, 1 - |coord - corner|), which reproduces zeros-padding exactly
+    (including the half-open boundary) without explicit bounds tests.
+    """
+    H, W, C = feat.shape
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    shape = x.shape
+
+    xf = x.reshape(-1)
+    yf = y.reshape(-1)
+    # Clamp the block origin so the (2, 2) slice stays in bounds; weights
+    # below zero out any corner that doesn't correspond to the true
+    # sample neighborhood.
+    y0 = jnp.clip(jnp.floor(yf), 0, max(H - 2, 0)).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xf), 0, max(W - 2, 0)).astype(jnp.int32)
+
+    starts = jnp.stack([y0, x0], axis=-1)                   # (P, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    block = jax.lax.gather(
+        feat, starts, dnums, slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)   # (P, 2, 2, C)
+
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+        yf[:, None] - (y0[:, None] + jnp.arange(2, dtype=jnp.float32))))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        xf[:, None] - (x0[:, None] + jnp.arange(2, dtype=jnp.float32))))
+    w = (wy[:, :, None] * wx[:, None, :]).astype(jnp.float32)
+
+    out = jnp.einsum("pyx,pyxc->pc", w,
+                     block.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(shape + (C,))
+
+
 def grid_sample(feat: jnp.ndarray, gx: jnp.ndarray,
                 gy: jnp.ndarray) -> jnp.ndarray:
     """torch-compatible grid_sample on one image.
