@@ -103,15 +103,32 @@ def load_magnet_checkpoints(variables, args):
             tree[c][key] = new[c]
 
     if getattr(args, "DNET_ckpt", ""):
-        sd = torch_loader.load_state_dict(args.DNET_ckpt)
-        # magnet's d_net (DNetCoarse) shares the DNET checkpoint layout
         dn = sub(v, "d_net")
-        dn = torch_loader.convert_dnet(sd, dn)
+        if _is_torch_ckpt(args.DNET_ckpt):
+            sd = torch_loader.load_state_dict(args.DNET_ckpt)
+            # magnet's d_net (DNetCoarse) shares the DNET ckpt layout
+            dn = torch_loader.convert_dnet(sd, dn)
+        else:
+            # orbax TrainState from our train_DNet.py: DNet params are
+            # {'d_net': DenseDepth} — the exact DNetCoarse subtree.
+            from magnet_tpu.train import checkpoint
+            restored = checkpoint.restore(args.DNET_ckpt)
+            dn = {"params": restored["params"],
+                  "batch_stats": restored.get("batch_stats", {})}
         set_sub(v, "d_net", dn)
     if getattr(args, "FNET_ckpt", ""):
-        sd = torch_loader.load_state_dict(args.FNET_ckpt)
         fn = sub(v, "f_net")
-        fn = torch_loader.convert_fnet(sd, fn)
+        if _is_torch_ckpt(args.FNET_ckpt):
+            sd = torch_loader.load_state_dict(args.FNET_ckpt)
+            fn = torch_loader.convert_fnet(sd, fn)
+        else:
+            # orbax TrainState from train_FNet.py (MagnetF): params are
+            # {'f_net': FNet-tree}; the FNet-tree is what magnet expects.
+            from magnet_tpu.train import checkpoint
+            restored = checkpoint.restore(args.FNET_ckpt)
+            fn = {"params": restored["params"]["f_net"],
+                  "batch_stats": restored.get(
+                      "batch_stats", {}).get("f_net", {})}
         set_sub(v, "f_net", fn)
     if getattr(args, "MAGNET_ckpt", ""):
         path = args.MAGNET_ckpt

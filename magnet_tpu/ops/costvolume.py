@@ -35,7 +35,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from magnet_tpu.ops.resample import bilinear_gather_block as bilinear_gather
+from magnet_tpu.ops.resample import (bilinear_gather_block as
+                                     bilinear_gather, gather_corner_block)
 
 _EPS_DIV = 1e-10
 _COORD_CLIP = 10.0
@@ -81,41 +82,82 @@ def _project(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
 
 
 def _cost_one_view_cw(ref_feat, src_feat, src_mu, src_sigma,
-                      d_volume, K, R, t, rays2d, valid, kappa):
+                      d_volume, K, R, t, rays2d, valid, kappa,
+                      matching_dtype=jnp.float32):
     """Consistency-weighted matching cost of one (batch, view) pair.
 
-    ref_feat/src_feat: (H, W, C) f32; src_mu/src_sigma: (H, W);
-    d_volume: (D, H, W); valid: scalar {0,1}. Returns (D, H, W).
+    ref_feat/src_feat: (H, W, C); src_mu/src_sigma: (H, W) f32;
+    d_volume: (D, H, W); valid: scalar {0,1}. Returns (D, H, W) f32.
+
+    One corner-block gather per (candidate, pixel) fetches features AND
+    (mu, sigma) in matching_dtype. With bf16, mu/sigma carry ~8 mantissa
+    bits (~0.02 m at indoor depths) against consistency thresholds of
+    kappa*sigma >= ~0.5 m — only pixels exactly on the threshold boundary
+    can flip; run --compute_dtype float32 for bit-level reference parity.
+    The corner dot-product accumulates in f32 before the bilinear
+    combine, so combined feature maps are never materialized.
     """
     H, W, C = ref_feat.shape
     x, y, z = _project(K, R, t, rays2d, d_volume, H, W)
 
-    # One gather for feature + mu + sigma (channel concat).
+    ms = jnp.stack([src_mu, src_sigma], axis=-1)
     packed = jnp.concatenate(
-        [src_feat, src_mu[..., None], src_sigma[..., None]], axis=-1)
-    warped = bilinear_gather(packed, x, y)                  # (D, H, W, C+2)
-    w_feat = warped[..., :C]
-    w_mu = warped[..., C]
-    w_sigma = warped[..., C + 1]
+        [src_feat, ms.astype(src_feat.dtype)],
+        axis=-1).astype(matching_dtype)                     # (H, W, C+2)
 
-    feat_cost = jnp.einsum("hwc,dhwc->dhw", ref_feat, w_feat,
-                           precision=_HI)
+    block, w = gather_corner_block(packed, x, y)     # (D,H,W,2,2,C+2)
+
+    # Contract the corner block against THREE "query" columns at once:
+    # the reference feature (-> matching cost) and one-hot selectors for
+    # the mu/sigma channels (-> warped mu/sigma). One einsum, no slicing
+    # of the large gathered block (channel slices force layout copies).
+    sel = jnp.zeros((H, W, 2, 2), matching_dtype)
+    sel = sel.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    queries = jnp.concatenate([
+        jnp.concatenate([ref_feat.astype(matching_dtype),
+                         jnp.zeros((H, W, 2), matching_dtype)],
+                        axis=-1)[..., None],                # (H,W,C+2,1)
+        jnp.concatenate([jnp.zeros((H, W, C, 2), matching_dtype), sel],
+                        axis=-2),                           # (H,W,C+2,2)
+    ], axis=-1)                                             # (H,W,C+2,3)
+
+    if matching_dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # CPU XLA lacks bf16 x bf16 -> f32 dots; values are already
+        # bf16-rounded so computing in f32 preserves the semantics.
+        block = block.astype(jnp.float32)
+        queries = queries.astype(jnp.float32)
+    corner = jnp.einsum("dhwyxc,hwcm->dhwyxm", block, queries,
+                        preferred_element_type=jnp.float32,
+                        precision=None if matching_dtype == jnp.bfloat16
+                        else _HI)
+    combined = jnp.einsum("dhwyx,dhwyxm->dhwm", w, corner,
+                          precision=_HI)                    # (D,H,W,3)
+
+    feat_cost = combined[..., 0]
+    w_mu = combined[..., 1]
+    w_sigma = combined[..., 2]
 
     depth_diff = jnp.abs(z - w_mu)
     consistent = (depth_diff < w_sigma * kappa).astype(feat_cost.dtype)
     return feat_cost * consistent * valid
 
 
-def _cost_one_view_sweep(ref_feat, src_feat, d_center, K, R, t, rays2d, valid):
+def _cost_one_view_sweep(ref_feat, src_feat, d_center, K, R, t, rays2d,
+                         valid, matching_dtype=jnp.float32):
     """Fixed-sweep matching cost of one (batch, view) pair.
     d_center: (D,) sweep depths. Returns (D, H, W)."""
     H, W, C = ref_feat.shape
     D = d_center.shape[0]
     d_volume = jnp.broadcast_to(d_center[:, None, None], (D, H, W))
     x, y, _ = _project(K, R, t, rays2d, d_volume, H, W)
-    w_feat = bilinear_gather(src_feat, x, y)                # (D, H, W, C)
-    feat_cost = jnp.einsum("hwc,dhwc->dhw", ref_feat, w_feat,
-                           precision=_HI)
+    block, w = gather_corner_block(
+        src_feat.astype(matching_dtype), x, y)       # (D,H,W,2,2,C)
+    corner = jnp.einsum("dhwyxc,hwc->dhwyx", block,
+                        ref_feat.astype(block.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=None if matching_dtype == jnp.bfloat16
+                        else _HI)
+    feat_cost = jnp.sum(w * corner, axis=(-1, -2))
     return feat_cost * valid
 
 
@@ -140,6 +182,9 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
     B, H, W, D = d_volume.shape
     V = src_feat.shape[1]
     f32 = jnp.float32
+    # Features match in bf16 when the backbone runs in bf16; geometry and
+    # the consistency check always stay f32.
+    mdt = jnp.bfloat16 if src_feat.dtype == jnp.bfloat16 else f32
 
     dvol = jnp.moveaxis(d_volume, -1, 1).astype(f32)        # (B, D, H, W)
 
@@ -147,10 +192,10 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
                   K_b, rays_b):
         def per_view(srcf_v, mu_v, sig_v, R_v, t_v, val_v):
             return _cost_one_view_cw(
-                ref_b.astype(f32), srcf_v.astype(f32), mu_v.astype(f32),
+                ref_b, srcf_v, mu_v.astype(f32),
                 sig_v.astype(f32), dvol_b, K_b.astype(f32), R_v.astype(f32),
                 t_v.astype(f32), rays_b.astype(f32), val_v.astype(f32),
-                kappa)
+                kappa, matching_dtype=mdt)
         costs = jax.vmap(per_view)(srcf_b, mu_b, sig_b, R_b, t_b, val_b)
         return jnp.sum(costs, axis=0)                       # (D, H, W)
 
@@ -172,13 +217,14 @@ def cost_volume_sweep(d_center: jnp.ndarray, ref_feat: jnp.ndarray,
     V = src_feat.shape[1]
     f32 = jnp.float32
     d_center = d_center.astype(f32)
+    mdt = jnp.bfloat16 if src_feat.dtype == jnp.bfloat16 else f32
 
     def per_batch(ref_b, srcf_b, R_b, t_b, val_b, K_b, rays_b):
         def per_view(srcf_v, R_v, t_v, val_v):
             return _cost_one_view_sweep(
-                ref_b.astype(f32), srcf_v.astype(f32), d_center,
+                ref_b, srcf_v, d_center,
                 K_b.astype(f32), R_v.astype(f32), t_v.astype(f32),
-                rays_b.astype(f32), val_v.astype(f32))
+                rays_b.astype(f32), val_v.astype(f32), matching_dtype=mdt)
         costs = jax.vmap(per_view)(srcf_b, R_b, t_b, val_b)
         return jnp.sum(costs, axis=0)
 

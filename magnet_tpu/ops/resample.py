@@ -66,14 +66,17 @@ def bilinear_gather(feat: jnp.ndarray, x: jnp.ndarray,
     return out
 
 
-def bilinear_gather_block(feat: jnp.ndarray, x: jnp.ndarray,
-                          y: jnp.ndarray) -> jnp.ndarray:
-    """Same semantics as `bilinear_gather`, restructured for TPU: ONE
-    lax.gather of a (2, 2, C) corner block per sample instead of four
-    single-row gathers (4x fewer gather slices — the per-slice overhead
-    dominates TPU gather cost). Corner weights are computed as
-    max(0, 1 - |coord - corner|), which reproduces zeros-padding exactly
-    (including the half-open boundary) without explicit bounds tests.
+def gather_corner_block(feat: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """ONE lax.gather of the (2, 2, C) corner block per sample plus the
+    bilinear corner weights (the TPU-friendly decomposition of
+    grid_sample: per-slice overhead dominates TPU gather cost, so four
+    single-row gathers become one block gather).
+
+    Returns (block (P..., 2, 2, C) in feat.dtype, w (P..., 2, 2) f32).
+    Weights are max(0, 1 - |coord - corner|), which reproduces
+    zeros-padding exactly (including the half-open boundary) without
+    explicit bounds tests; the block origin is clamped in-bounds and any
+    corner not part of the true neighborhood gets weight 0.
     """
     H, W, C = feat.shape
     x = x.astype(jnp.float32)
@@ -82,9 +85,6 @@ def bilinear_gather_block(feat: jnp.ndarray, x: jnp.ndarray,
 
     xf = x.reshape(-1)
     yf = y.reshape(-1)
-    # Clamp the block origin so the (2, 2) slice stays in bounds; weights
-    # below zero out any corner that doesn't correspond to the true
-    # sample neighborhood.
     y0 = jnp.clip(jnp.floor(yf), 0, max(H - 2, 0)).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor(xf), 0, max(W - 2, 0)).astype(jnp.int32)
 
@@ -100,12 +100,18 @@ def bilinear_gather_block(feat: jnp.ndarray, x: jnp.ndarray,
         yf[:, None] - (y0[:, None] + jnp.arange(2, dtype=jnp.float32))))
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(
         xf[:, None] - (x0[:, None] + jnp.arange(2, dtype=jnp.float32))))
-    w = (wy[:, :, None] * wx[:, None, :]).astype(jnp.float32)
+    w = wy[:, :, None] * wx[:, None, :]                     # (P, 2, 2)
+    return (block.reshape(shape + (2, 2, C)),
+            w.reshape(shape + (2, 2)).astype(jnp.float32))
 
-    out = jnp.einsum("pyx,pyxc->pc", w,
-                     block.astype(jnp.float32),
+
+def bilinear_gather_block(feat: jnp.ndarray, x: jnp.ndarray,
+                          y: jnp.ndarray) -> jnp.ndarray:
+    """grid_sample-equivalent bilinear sampling via `gather_corner_block`."""
+    block, w = gather_corner_block(feat, x, y)
+    out = jnp.einsum("...yx,...yxc->...c", w, block.astype(jnp.float32),
                      precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(shape + (C,))
+    return out
 
 
 def grid_sample(feat: jnp.ndarray, gx: jnp.ndarray,

@@ -70,3 +70,48 @@ def test_train_fnet_end_to_end(tmp_path):
         ] + _COMMON)
     _run("train_FNet.py", cfg)
     assert sorted(os.listdir(exp / "f" / "models"))
+
+
+def test_magnet_stage_chain(tmp_path):
+    """Stage 3 composition: D-Net + F-Net orbax checkpoints feed
+    train_MaGNet, whose checkpoint feeds test_MaGNet (the reference's
+    staged pipeline, MAGNET.py:78-92 + test_MaGNet.py:166-169)."""
+    exp = tmp_path / "exp"
+    mv = ["--MAGNET_window_radius 4", "--MAGNET_num_source_views 2",
+          "--dpv_height 16", "--dpv_width 16"]
+
+    cfg_d = _write_cfg(tmp_path / "d.txt", [
+        "--exp_name d", f"--exp_dir {exp}", "--visible_gpus 0",
+        "--output_dim 2", "--output_type G", "--downsample_ratio 4",
+        "--DNET_architecture DenseDepth_BN",
+        "--n_epochs 1", "--batch_size 2", "--validate_every 1000000",
+        "--visualize_every 1000000", "--crop_height 64",
+        "--crop_width 64", "--lr 1e-4"] + _COMMON)
+    _run("train_DNet.py", cfg_d)
+    d_ckpt = sorted((exp / "d" / "models").iterdir())[-1]
+
+    cfg_f = _write_cfg(tmp_path / "f.txt", [
+        "--exp_name f", f"--exp_dir {exp}", "--visible_gpus 0",
+        "--FNET_feature_dim 64", "--FNET_num_depth_bins 8",
+        "--n_epochs 1", "--batch_size 2", "--validate_every 1000000",
+        "--visualize_every 1000000", "--lr 1e-4"] + mv + _COMMON)
+    _run("train_FNet.py", cfg_f)
+    f_ckpt = sorted((exp / "f" / "models").iterdir())[-1]
+
+    cfg_m = _write_cfg(tmp_path / "m.txt", [
+        "--exp_name m", f"--exp_dir {exp}", "--visible_gpus 0",
+        f"--DNET_ckpt {d_ckpt}", f"--FNET_ckpt {f_ckpt}",
+        "--MAGNET_num_train_iter 1", "--MAGNET_num_test_iter 1",
+        "--n_epochs 1", "--batch_size 2", "--validate_every 1000000",
+        "--visualize_every 1000000", "--lr 1e-4"] + mv + _COMMON)
+    _run("train_MaGNet.py", cfg_m)
+    m_ckpt = sorted((exp / "m" / "models").iterdir())[-1]
+
+    cfg_t = _write_cfg(tmp_path / "t.txt", [
+        "--exp_name t", f"--exp_dir {exp}", "--visible_gpus 0",
+        f"--DNET_ckpt {d_ckpt}", f"--FNET_ckpt {f_ckpt}",
+        f"--MAGNET_ckpt {m_ckpt}",
+        "--MAGNET_num_test_iter 1"] + mv + _COMMON)
+    _run("test_MaGNet.py", cfg_t)
+    acc = (exp / "t" / "log" / "test_acc.txt").read_text()
+    assert "abs_rel" in acc
