@@ -30,7 +30,7 @@ import numpy as np
 from flax import traverse_util
 
 _HEAD_IDX = {"conv0": "0", "conv1": "2", "conv2": "4"}
-_GNET_IDX = {"conv0": "0", "conv1": "2", "conv2": "4", "conv3": "6"}
+_GNET_IDX = {"conv1": "2", "conv2": "4", "conv3": "6"}
 _UP_IDX = {"conv_a": "_net.0", "bn_a": "_net.1", "gn_a": "_net.1",
            "conv_b": "_net.3", "bn_b": "_net.4", "gn_b": "_net.4"}
 _FIRSTCONV_IDX = {"firstconv0": "0", "firstconv1": "2", "firstconv2": "4"}
@@ -144,6 +144,10 @@ def translate_magnet(parts: Tuple[str, ...]) -> str:
         assert parts[1] == "f_net", parts
         return "f_net.f_net." + translate_psmnet(parts[2:])
     if top == "g_net":
+        if parts[1] in ("conv0_cv", "conv0_feat"):
+            # split of torch gnet.0 along input channels; resolved by the
+            # special-case slicing in convert()
+            return f"g_net.gnet.0.{_leaf(parts)}"
         return f"g_net.gnet.{_GNET_IDX[parts[1]]}.{_leaf(parts)}"
     if top == "mask_head":
         return f"mask_head.{_HEAD_IDX[parts[1]]}.{_leaf(parts)}"
@@ -177,6 +181,13 @@ def convert(state_dict: Dict[str, np.ndarray], variables,
         w = state_dict[tkey]
         if path[-1] == "kernel" and w.ndim == 4:
             w = _conv_kernel(w)
+            # G-Net's first layer is split along input channels (conv over
+            # a concat == sum of convs; see nn/gnet.py): conv0_cv takes
+            # the leading cost-volume channels, conv0_feat the rest.
+            if "conv0_cv" in path:
+                w = w[:, :, :np.asarray(value).shape[2], :]
+            elif "conv0_feat" in path:
+                w = w[:, :, -np.asarray(value).shape[2]:, :]
         w = np.asarray(w)
         if w.shape != np.asarray(value).shape:
             raise ValueError(f"shape mismatch {'/'.join(path)} <- {tkey}: "

@@ -112,6 +112,9 @@ class Magnet(nn.Module):
         # ---- Iterative Gaussian refinement (static unroll)
         ks = jnp.asarray(k_list)                           # (D,)
         g_net = GNet(name="g_net")                         # shared weights
+        # Hoist the iteration-invariant feature branch of G-Net's first
+        # layer out of the loop (the decoder feature never changes).
+        feat_contrib = g_net.precompute_feature(x_d3)
         pred_list = [ref_gauss]
         for _ in range(n_iters):
             prev = jax.lax.stop_gradient(pred_list[-1])
@@ -123,8 +126,7 @@ class Magnet(nn.Module):
                                 rays2d, kappa)
             cv = jax.lax.stop_gradient(cv)
 
-            gnet_in = jnp.concatenate([cv.astype(x_d3.dtype), x_d3], axis=-1)
-            new_pred = g_net(gnet_in, prev)
+            new_pred = g_net(cv.astype(x_d3.dtype), feat_contrib, prev)
             pred_list.append(new_pred)
 
         # ---- Shared learned upsampling

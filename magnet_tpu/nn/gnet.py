@@ -4,6 +4,16 @@ A 4-layer CNN maps concat(cost volume, D-Net decoder feature) to a residual
 update of the depth Gaussian in sigma-normalized space:
     mu_new    = mu_0 + mu_1 * sigma_0
     sigma_new = (elu(sigma_1) + 1 + 1e-10) * sigma_0
+
+TPU restructuring of the first layer (torch ``gnet.0``, a single conv over
+the 261-channel concat): a conv over a channel concat equals the sum of two
+convs, so it is split into a cost-volume branch (``conv0_cv``, D channels,
+no bias) and a feature branch (``conv0_feat``, 256 channels, carries the
+bias). Two wins: the 256-channel conv is a clean 128-multiple matmul (the
+261-channel concat was padded to 384 lanes and ran at ~4% MXU), and the
+feature contribution is iteration-invariant — ``precompute_feature`` hoists
+it out of the 3-iteration refinement loop. Checkpoint conversion splits the
+torch kernel along input channels (compat/torch_loader.py).
 """
 
 from __future__ import annotations
@@ -19,15 +29,30 @@ class GNet(nn.Module):
     hidden: int = 128
     out_ch: int = 2
 
-    @nn.compact
-    def __call__(self, cost_volume: jnp.ndarray,
+    def setup(self):
+        self.conv0_cv = Conv(self.hidden, 3, padding=1, use_bias=False,
+                             name="conv0_cv")
+        self.conv0_feat = Conv(self.hidden, 3, padding=1, use_bias=True,
+                               name="conv0_feat")
+        self.conv1 = Conv(self.hidden, 1, name="conv1")
+        self.conv2 = Conv(self.hidden, 1, name="conv2")
+        self.conv3 = Conv(self.out_ch, 1, name="conv3")
+
+    def precompute_feature(self, feat: jnp.ndarray) -> jnp.ndarray:
+        """Iteration-invariant contribution of the decoder feature to the
+        first layer (compute once, reuse every refinement iteration)."""
+        return self.conv0_feat(feat)
+
+    def __call__(self, cost_volume: jnp.ndarray, feat_contrib: jnp.ndarray,
                  ref_gaussian: jnp.ndarray) -> jnp.ndarray:
-        """cost_volume: (B, H, W, C_in); ref_gaussian: (B, H, W, 2) =
-        (mu_0, sigma_0). Returns (B, H, W, 2) updated (mu, sigma)."""
-        y = relu(Conv(self.hidden, 3, padding=1, name="conv0")(cost_volume))
-        y = relu(Conv(self.hidden, 1, name="conv1")(y))
-        y = relu(Conv(self.hidden, 1, name="conv2")(y))
-        y = Conv(self.out_ch, 1, name="conv3")(y)
+        """cost_volume: (B, H, W, D); feat_contrib: (B, H, W, hidden) from
+        `precompute_feature`; ref_gaussian: (B, H, W, 2) = (mu_0, sigma_0).
+        Returns (B, H, W, 2) updated (mu, sigma)."""
+        y = self.conv0_cv(cost_volume)
+        y = relu(y + feat_contrib.astype(y.dtype))
+        y = relu(self.conv1(y))
+        y = relu(self.conv2(y))
+        y = self.conv3(y)
 
         mu0 = ref_gaussian[..., 0:1]
         sigma0 = ref_gaussian[..., 1:2]

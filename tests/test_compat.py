@@ -74,34 +74,42 @@ def test_fnet_full_parity():
 
 
 def test_gnet_parity():
+    """The split-first-layer G-Net (conv over concat == sum of convs, with
+    the feature branch hoisted) must match the torch single-conv oracle
+    through the converter's kernel-splitting path."""
     tmodel = torch_ref.randomize_(torch_ref.GNET_T(ch_in=261), seed=6)
     rng = np.random.RandomState(3)
-    cv = rng.rand(1, 12, 16, 261).astype(np.float32)
+    cv_d = rng.rand(1, 12, 16, 5).astype(np.float32)
+    feat = rng.rand(1, 12, 16, 256).astype(np.float32)
     gmm = np.stack([rng.uniform(1, 5, (1, 12, 16)),
                     rng.uniform(0.1, 1, (1, 12, 16))],
                    axis=-1).astype(np.float32)
 
+    def fwd(m, cv, ft, g):
+        return m(cv, m.precompute_feature(ft), g)
+
     fmodel = GNet()
-    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(cv),
-                            jnp.asarray(gmm))
-    # GNet alone maps through the magnet translator's g_net branch; emulate
-    # by prefixing the oracle's state dict accordingly.
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(cv_d),
+                            jnp.asarray(feat), jnp.asarray(gmm),
+                            method=fwd)
+    # GNet alone maps through the magnet translator's g_net branch.
     sd = {f"g_net.{k}": v for k, v in _sd(tmodel).items()}
     from flax import traverse_util
     flat = traverse_util.flatten_dict(variables)
-    out = {}
-    for path, val in flat.items():
-        tkey = torch_loader.translate_magnet(("g_net",) + tuple(path[1:]))
-        w = sd[tkey]
-        if path[-1] == "kernel":
-            w = np.transpose(w, (2, 3, 1, 0))
-        out[path] = w
-    variables = traverse_util.unflatten_dict(out)
+    prefixed = traverse_util.unflatten_dict(
+        {("params", "g_net") + tuple(p[1:]): v for p, v in flat.items()})
+    converted = torch_loader.convert(sd, prefixed, "magnet")
+    variables = {"params":
+                 traverse_util.unflatten_dict(
+                     {tuple(p[2:]): v for p, v in
+                      traverse_util.flatten_dict(converted).items()})}
 
-    ours = np.asarray(fmodel.apply(variables, jnp.asarray(cv),
-                                   jnp.asarray(gmm)))
+    ours = np.asarray(fmodel.apply(variables, jnp.asarray(cv_d),
+                                   jnp.asarray(feat), jnp.asarray(gmm),
+                                   method=fwd))
+    cv_full = np.concatenate([cv_d, feat], axis=-1)
     with torch.no_grad():
-        ref = tmodel(torch.from_numpy(cv).permute(0, 3, 1, 2),
+        ref = tmodel(torch.from_numpy(cv_full).permute(0, 3, 1, 2),
                      torch.from_numpy(gmm).permute(0, 3, 1, 2))
     np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(),
                                atol=1e-5)
