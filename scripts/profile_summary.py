@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Capture a device trace of the flagship forward and print a per-category
+and per-op summary (development tool)."""
+import collections
+import glob
+import gzip
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def capture(trace_dir="/tmp/jaxtrace"):
+    import jax
+    import jax.numpy as jnp
+    from bench import example_inputs
+    from magnet_tpu.core.dtypes import cast_floating
+    from magnet_tpu.models.magnet import Magnet
+
+    model = Magnet(n_iters=3)
+    inputs = example_inputs()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+
+    @jax.jit
+    def run(variables, ref_img, *rest):
+        v = {"params": cast_floating(variables["params"], jnp.bfloat16),
+             "batch_stats": variables["batch_stats"]}
+        cref = ref_img.astype(jnp.bfloat16)
+        csrc = rest[0].astype(jnp.bfloat16)
+        def body(_, carry):
+            out = model.apply(v, carry, csrc, *rest[1:], train=False)[-1]
+            return carry + 0.0 * out[..., :1].astype(carry.dtype)
+        return jax.lax.fori_loop(0, 4, body, cref)
+
+    float(run(variables, *inputs)[0, 0, 0, 0])
+    jax.profiler.start_trace(trace_dir)
+    float(run(variables, *inputs)[0, 0, 0, 0])
+    jax.profiler.stop_trace()
+
+
+def summarize(trace_dir="/tmp/jaxtrace", n_frames=4, top=16):
+    path = sorted(glob.glob(
+        trace_dir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(path) as f:
+        trace = json.load(f)
+    pids = {}
+    for e in trace["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    cat = collections.Counter()
+    name_time = collections.Counter()
+    details = {}
+    mod = collections.Counter()
+    for e in trace["traceEvents"]:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if pids.get(e["pid"], "") != "/device:TPU:0":
+            continue
+        n = e["name"]
+        if n.startswith(("jit_", "while")):
+            continue
+        a = e.get("args", {})
+        cat[a.get("hlo_category", "?")] += e["dur"]
+        name_time[n] += e["dur"]
+        if n not in details:
+            details[n] = a.get("long_name", "")[:100]
+        src = a.get("source_stack", "")
+        key = "other"
+        for tag in ("efficientnet", "psmnet", "densedepth", "gnet",
+                    "costvolume", "resample", "upsample"):
+            if tag in src:
+                key = tag
+                break
+        mod[key] += e["dur"]
+    print(f"total: {sum(cat.values()) / 1e3 / n_frames:.1f} ms/frame")
+    for c, d in cat.most_common(10):
+        print(f"{d / 1e3 / n_frames:8.2f} ms  {c}")
+    print("\nby module:")
+    for k, d in mod.most_common():
+        print(f"{d / 1e3 / n_frames:8.2f} ms  {k}")
+    print("\ntop ops:")
+    for n, d in name_time.most_common(top):
+        print(f"{d / 1e3 / n_frames:7.2f} ms {n[:26]:26s} {details[n][:80]}")
+
+
+if __name__ == "__main__":
+    import shutil
+    shutil.rmtree("/tmp/jaxtrace", ignore_errors=True)
+    capture()
+    summarize()
