@@ -154,8 +154,20 @@ def translate_magnet(parts: Tuple[str, ...]) -> str:
     raise KeyError(f"unmapped Magnet path {parts}")
 
 
+def translate_adabins_encoder(parts: Tuple[str, ...]) -> str:
+    """AdaBins encoder-only checkpoint (DNET.py:37-48): keys are the
+    encoder's own state dict ('original_model.*'); non-encoder paths are
+    unmapped (the caller uses strict=False to keep them)."""
+    if parts[0] == "d_net" and parts[1] == "encoder":
+        inner = translate_densedepth(parts[1:])
+        assert inner.startswith("encoder.")
+        return inner[len("encoder."):]
+    raise KeyError(f"not an encoder path {parts}")
+
+
 _TRANSLATORS = {"dnet": translate_dnet, "fnet": translate_fnet,
-                "magnet": translate_magnet}
+                "magnet": translate_magnet,
+                "adabins_encoder": translate_adabins_encoder}
 
 
 def convert(state_dict: Dict[str, np.ndarray], variables,
@@ -209,3 +221,9 @@ def convert_fnet(state_dict, variables, strict: bool = True):
 
 def convert_magnet(state_dict, variables, strict: bool = True):
     return convert(state_dict, variables, "magnet", strict)
+
+
+def convert_adabins_encoder(state_dict, variables):
+    """Partial load: fill only the encoder subtree, leave the rest at
+    init (the optimizer freezes the encoder; train/optim.py)."""
+    return convert(state_dict, variables, "adabins_encoder", strict=False)

@@ -54,8 +54,9 @@ def main():
         freeze_encoder=args.DNET_fix_encoder_weights == "AdaBins_fix")
     if args.DNET_fix_encoder_weights == "AdaBins_fix":
         # Load + freeze the AdaBins KITTI encoder (DNET.py:37-48).
-        variables = build.load_dnet_checkpoint(
-            variables, "./ckpts/AdaBins_kitti_encoder.pt")
+        from magnet_tpu.compat import torch_loader
+        sd = torch_loader.load_state_dict("./ckpts/AdaBins_kitti_encoder.pt")
+        variables = torch_loader.convert_adabins_encoder(sd, variables)
 
     state = steps.TrainState.create(variables, tx,
                                     seed=getattr(args, "seed", 0))
