@@ -21,8 +21,6 @@ Single-view: img (H, W, 3), depth (H, W).
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 

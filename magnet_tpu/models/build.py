@@ -21,7 +21,7 @@ import numpy as np
 from magnet_tpu.compat import torch_loader
 from magnet_tpu.models.dnet import DNet
 from magnet_tpu.models.fnet import FNet
-from magnet_tpu.models.magnet import Magnet, parse_weighting
+from magnet_tpu.models.magnet import Magnet
 
 
 def _use_bn(args) -> bool:

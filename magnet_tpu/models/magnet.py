@@ -21,7 +21,7 @@ F-Net features + fixed 80-plane sweep cost volume.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

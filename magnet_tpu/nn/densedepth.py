@@ -14,8 +14,6 @@ downsample_ratio selects decoder depth: 8 -> up1..2 (i_dim 512),
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -27,7 +27,7 @@ conv_head/bn2) so checkpoint conversion is mechanical.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,7 +17,7 @@ falls out of SPMD with no extra code.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,71 @@ relu = jax.nn.relu
 
 def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
+
+
+import os
+
+# Depthwise convs can run as explicit shift-multiply-accumulate on the VPU
+# instead of XLA's convolution path; XLA relayouts tensors around grouped
+# convolutions (~10 ms/frame of 'data formatting' in the EfficientNet
+# trunk). Opt-in via env because the better choice is hardware-dependent.
+_DW_SHIFT_ADD = os.environ.get("MAGNET_TPU_DW_SHIFT_ADD", "0") == "1"
+
+
+def _same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
+    """TF-SAME padding (right/bottom heavy)."""
+    out = -(-size // s)
+    total = max((out - 1) * s + k - size, 0)
+    return total // 2, total - total // 2
+
+
+def _depthwise_shift_add(x, kernel, stride, padding):
+    """Depthwise conv as sum of shifted elementwise products.
+    x: (B, H, W, C); kernel: (kh, kw, 1, C)."""
+    kh, kw, _, C = kernel.shape
+    B, H, W, _ = x.shape
+    if padding == "SAME":
+        py = _same_pads(H, kh, stride[0])
+        px = _same_pads(W, kw, stride[1])
+    else:
+        py, px = padding
+    xp = jnp.pad(x, ((0, 0), py, px, (0, 0)))
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    oh = (Hp - kh) // stride[0] + 1
+    ow = (Wp - kw) // stride[1] + 1
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = xp[:, dy:dy + (oh - 1) * stride[0] + 1:stride[0],
+                    dx:dx + (ow - 1) * stride[1] + 1:stride[1], :]
+            term = sl * kernel[dy, dx, 0][None, None, None, :]
+            acc = term if acc is None else acc + term
+    return acc
+
+
+class _DWShiftAddConv(nn.Module):
+    """Parameter-compatible stand-in for a depthwise nn.Conv ('kernel' /
+    'bias' under the same scope) computing via shift-add."""
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    padding: Any
+    use_bias: bool
+    dtype: Optional[Dtype]
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, 1, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        y = _depthwise_shift_add(x.astype(dt), kernel.astype(dt),
+                                 self.stride, self.padding)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(dt)
+        return y
 
 
 class Conv(nn.Module):
@@ -54,6 +119,14 @@ class Conv(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
+        is_depthwise = (self.groups > 1 and self.groups == x.shape[-1]
+                        and self.features == self.groups
+                        and _pair(self.dilation) == (1, 1))
+        if _DW_SHIFT_ADD and is_depthwise:
+            return _DWShiftAddConv(
+                features=self.features, kernel_size=_pair(self.kernel_size),
+                stride=_pair(self.stride), padding=pad,
+                use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
         return nn.Conv(
             features=self.features,
             kernel_size=_pair(self.kernel_size),

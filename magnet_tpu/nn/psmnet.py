@@ -12,8 +12,6 @@ Conv weights use Kaiming-normal fan-out init (F_psmnet.py:71-85).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -30,8 +30,6 @@ Layouts are NHWC: features (B, H, W, C); cost volumes (B, H, W, D).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ them.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Tuple
 
 import optax
 from flax import traverse_util

@@ -11,7 +11,7 @@ are sharded on the batch axis of one mesh and XLA inserts the collectives.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
