@@ -67,6 +67,48 @@ def test_sharded_dnet_train_step_matches_single_device():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_view_sharded_inference_matches_single_device():
+    """Sharding the source-view axis across the mesh (psum over ICI for
+    the view-sum) must reproduce single-device inference."""
+    from magnet_tpu.core.sharding_inference import (shard_magnet_inference,
+                                                    view_mesh)
+    from magnet_tpu.models.magnet import Magnet
+
+    rng = np.random.RandomState(0)
+    B, V, H, W = 1, 4, 32, 32
+    h, w = H // 4, W // 4
+    fx = 0.9 * w
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
+    grid = np.ones((h, w, 3), np.float32)
+    grid[:, :, 0] = (np.arange(w)[None] + 0.5 - K[0, 2]) / K[0, 0]
+    grid[:, :, 1] = (np.arange(h)[:, None] + 0.5 - K[1, 2]) / K[1, 1]
+    rays = grid.transpose(2, 0, 1).reshape(3, -1)
+
+    args = (jnp.asarray(rng.rand(B, H, W, 3), jnp.float32),
+            jnp.asarray(rng.rand(B, V, H, W, 3), jnp.float32),
+            jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                                (B, V, 1, 1))),
+            jnp.asarray(rng.randn(B, V, 3).astype(np.float32) * 0.02),
+            jnp.ones((B, V), jnp.float32),
+            jnp.asarray(np.tile(K, (B, 1, 1))),
+            jnp.asarray(np.tile(rays, (B, 1, 1))))
+
+    model = Magnet(n_iters=1)
+    variables = model.init(jax.random.PRNGKey(0), *args)
+
+    single = model.apply(variables, *args, train=False, n_iters=1)[-1]
+
+    mesh = view_mesh(4)       # 4 of the 8 CPU devices, V=4
+    fwd = shard_magnet_inference(model, variables, mesh, n_iters=1)
+    sharded = fwd(*args)
+
+    a, b = np.asarray(single), np.asarray(sharded)
+    # psum reduction order differs; random-init magnitudes are huge, so
+    # compare against the global scale
+    np.testing.assert_allclose(a, b, rtol=1e-3,
+                               atol=1e-5 * np.abs(a).max())
+
+
 def test_shard_batch_places_on_data_axis():
     m = mesh_lib.make_mesh()
     x = np.zeros((16, 4), np.float32)
