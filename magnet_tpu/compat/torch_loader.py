@@ -31,7 +31,8 @@ from flax import traverse_util
 
 _HEAD_IDX = {"conv0": "0", "conv1": "2", "conv2": "4"}
 _GNET_IDX = {"conv1": "2", "conv2": "4", "conv3": "6"}
-_UP_IDX = {"conv_a": "_net.0", "bn_a": "_net.1", "gn_a": "_net.1",
+_UP_IDX = {"conv_a": "_net.0", "conv_a_up": "_net.0",
+           "conv_a_skip": "_net.0", "bn_a": "_net.1", "gn_a": "_net.1",
            "conv_b": "_net.3", "bn_b": "_net.4", "gn_b": "_net.4"}
 _FIRSTCONV_IDX = {"firstconv0": "0", "firstconv1": "2", "firstconv2": "4"}
 
@@ -193,12 +194,15 @@ def convert(state_dict: Dict[str, np.ndarray], variables,
         w = state_dict[tkey]
         if path[-1] == "kernel" and w.ndim == 4:
             w = _conv_kernel(w)
-            # G-Net's first layer is split along input channels (conv over
-            # a concat == sum of convs; see nn/gnet.py): conv0_cv takes
-            # the leading cost-volume channels, conv0_feat the rest.
-            if "conv0_cv" in path:
+            # Concat-input convs are split along input channels (conv
+            # over a concat == sum of convs): G-Net's first layer
+            # (nn/gnet.py) takes cost-volume channels first, decoder
+            # feature second; the decoder's UpSampleBN conv_a
+            # (nn/densedepth.py) takes upsampled channels first, encoder
+            # skip second.
+            if any(s in path for s in ("conv0_cv", "conv_a_up")):
                 w = w[:, :, :np.asarray(value).shape[2], :]
-            elif "conv0_feat" in path:
+            elif any(s in path for s in ("conv0_feat", "conv_a_skip")):
                 w = w[:, :, -np.asarray(value).shape[2]:, :]
         w = np.asarray(w)
         if w.shape != np.asarray(value).shape:

@@ -25,14 +25,25 @@ from magnet_tpu.ops.upsample import upsample_bilinear, upsample_via_mask
 
 
 class UpSampleBN(nn.Module):
-    """[upsample -> concat skip] -> (conv3x3-BN-LeakyReLU) x2."""
+    """[upsample -> merge skip] -> (conv3x3-BN-LeakyReLU) x2.
+
+    TPU restructuring: the reference concatenates the upsampled features
+    (2048/1024/512 ch) with the thin encoder skip (176/64/40 ch) and
+    convolves the 2224/1088/552-channel result (D_dense_depth.py:39-42).
+    A conv over a channel concat equals the sum of two convs, so conv_a is
+    split into conv_a_up (clean 128-multiple input width, carries the
+    bias) + conv_a_skip — removing both the concat relayout and the
+    odd-width matmul. Checkpoint conversion splits the torch kernel along
+    input channels.
+    """
     features: int
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         up = resize_bilinear_align_corners(x, skip.shape[-3], skip.shape[-2])
-        y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
-        y = Conv(self.features, 3, padding=1, name="conv_a")(y)
+        y = Conv(self.features, 3, padding=1, name="conv_a_up")(up) + \
+            Conv(self.features, 3, padding=1, use_bias=False,
+                 name="conv_a_skip")(skip.astype(up.dtype))
         y = BatchNorm(name="bn_a")(y, train)
         y = leaky_relu(y)
         y = Conv(self.features, 3, padding=1, name="conv_b")(y)
