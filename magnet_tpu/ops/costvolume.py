@@ -79,13 +79,32 @@ def _project(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
     return x, y, z
 
 
-def _cost_one_view_cw(ref_feat, src_feat, src_mu, src_sigma,
+def make_matching_queries(ref_feat: jnp.ndarray, matching_dtype):
+    """Query columns for the corner-block contraction: the reference
+    feature (-> matching cost) plus one-hot selectors for the packed
+    mu/sigma channels (-> warped mu/sigma). Built ONCE per forward — it is
+    view- and iteration-invariant. ref_feat: (H, W, C) -> (H, W, C+2, 3).
+    """
+    H, W, C = ref_feat.shape
+    sel = jnp.zeros((H, W, 2, 2), matching_dtype)
+    sel = sel.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    return jnp.concatenate([
+        jnp.concatenate([ref_feat.astype(matching_dtype),
+                         jnp.zeros((H, W, 2), matching_dtype)],
+                        axis=-1)[..., None],                # (H,W,C+2,1)
+        jnp.concatenate([jnp.zeros((H, W, C, 2), matching_dtype), sel],
+                        axis=-2),                           # (H,W,C+2,2)
+    ], axis=-1)                                             # (H,W,C+2,3)
+
+
+def _cost_one_view_cw(queries, src_feat, src_mu, src_sigma,
                       d_volume, K, R, t, rays2d, valid, kappa,
                       matching_dtype=jnp.float32):
     """Consistency-weighted matching cost of one (batch, view) pair.
 
-    ref_feat/src_feat: (H, W, C); src_mu/src_sigma: (H, W) f32;
-    d_volume: (D, H, W); valid: scalar {0,1}. Returns (D, H, W) f32.
+    queries: (H, W, C+2, 3) from make_matching_queries; src_feat:
+    (H, W, C); src_mu/src_sigma: (H, W) f32; d_volume: (D, H, W);
+    valid: scalar {0,1}. Returns (D, H, W) f32.
 
     One corner-block gather per (candidate, pixel) fetches features AND
     (mu, sigma) in matching_dtype. With bf16, mu/sigma carry ~8 mantissa
@@ -95,7 +114,7 @@ def _cost_one_view_cw(ref_feat, src_feat, src_mu, src_sigma,
     The corner dot-product accumulates in f32 before the bilinear
     combine, so combined feature maps are never materialized.
     """
-    H, W, C = ref_feat.shape
+    H, W = src_feat.shape[:2]
     x, y, z = _project(K, R, t, rays2d, d_volume, H, W)
 
     ms = jnp.stack([src_mu, src_sigma], axis=-1)
@@ -104,20 +123,6 @@ def _cost_one_view_cw(ref_feat, src_feat, src_mu, src_sigma,
         axis=-1).astype(matching_dtype)                     # (H, W, C+2)
 
     block, w = gather_corner_block(packed, x, y)     # (D,H,W,2,2,C+2)
-
-    # Contract the corner block against THREE "query" columns at once:
-    # the reference feature (-> matching cost) and one-hot selectors for
-    # the mu/sigma channels (-> warped mu/sigma). One einsum, no slicing
-    # of the large gathered block (channel slices force layout copies).
-    sel = jnp.zeros((H, W, 2, 2), matching_dtype)
-    sel = sel.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
-    queries = jnp.concatenate([
-        jnp.concatenate([ref_feat.astype(matching_dtype),
-                         jnp.zeros((H, W, 2), matching_dtype)],
-                        axis=-1)[..., None],                # (H,W,C+2,1)
-        jnp.concatenate([jnp.zeros((H, W, C, 2), matching_dtype), sel],
-                        axis=-2),                           # (H,W,C+2,2)
-    ], axis=-1)                                             # (H,W,C+2,3)
 
     if matching_dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
         # CPU XLA lacks bf16 x bf16 -> f32 dots; values are already
@@ -188,9 +193,11 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
 
     def per_batch(dvol_b, ref_b, srcf_b, mu_b, sig_b, R_b, t_b, val_b,
                   K_b, rays_b):
+        queries = make_matching_queries(ref_b, mdt)   # shared by all views
+
         def per_view(srcf_v, mu_v, sig_v, R_v, t_v, val_v):
             return _cost_one_view_cw(
-                ref_b, srcf_v, mu_v.astype(f32),
+                queries, srcf_v, mu_v.astype(f32),
                 sig_v.astype(f32), dvol_b, K_b.astype(f32), R_v.astype(f32),
                 t_v.astype(f32), rays_b.astype(f32), val_v.astype(f32),
                 kappa, matching_dtype=mdt)
