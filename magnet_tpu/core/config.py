@@ -158,6 +158,9 @@ def _add_tpu_flags(p):
                    help="orbax checkpoint dir to resume training from "
                         "(improvement over the reference: restores optimizer "
                         "and schedule state, not just weights)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="if set, capture a device trace of a few training "
+                        "steps into this directory (view with xprof)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--data_format", type=str, default="auto",

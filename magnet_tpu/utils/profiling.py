@@ -29,6 +29,35 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class ProfileWindow:
+    """Capture a device trace for steps [start, start+num) when a logdir
+    is configured; no-op otherwise. Call tick() once per training step."""
+
+    def __init__(self, logdir: str = "", start: int = 10, num: int = 3):
+        self.logdir = logdir
+        self.start = start
+        self.stop = start + num
+        self.count = 0
+        self.active = False
+
+    def tick(self):
+        if not self.logdir:
+            return
+        if self.count == self.start:
+            jax.profiler.start_trace(self.logdir)
+            self.active = True
+        elif self.count == self.stop and self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+            print(f"profile trace written to {self.logdir}", flush=True)
+        self.count += 1
+
+    def close(self):
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
+
 class StepTimer:
     """Streaming steps/sec with warmup exclusion (first N steps compile)."""
 

@@ -3,7 +3,12 @@
 (same in-jit loop technique as bench.py). Not part of the driver bench —
 a development tool for finding the hot spots."""
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

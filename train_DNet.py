@@ -20,6 +20,7 @@ from magnet_tpu.eval import harness, metrics
 from magnet_tpu.models import build
 from magnet_tpu.train import checkpoint, optim, steps
 from magnet_tpu.utils import visualize
+from magnet_tpu.utils.profiling import ProfileWindow, StepTimer
 
 _TRAIN_MODES = {"scannet": "train", "kitti_eigen": "eigen_train",
                 "kitti_official": "official_train", "synthetic": "train"}
@@ -70,30 +71,36 @@ def main():
         model, tx, args.max_depth, args.min_depth,
         compute_dtype=dtypes.resolve(args.compute_dtype))
     eval_model, _ = build.build_dnet(args)   # full-resolution graph
+    eval_fwd = steps.make_dnet_eval_fn(eval_model)
+    vis_fwd = steps.make_dnet_eval_fn(model)
 
     def run_validation(state):
-        fwd = steps.make_dnet_eval_fn(eval_model)
         return harness.evaluate_dnet(
-            lambda img: fwd(state, img), val_loader, args, progress=False)
+            lambda img: eval_fwd(state, img), val_loader, args,
+            progress=False)
 
     total_iter = 0
     t0 = time.time()
+    prof = ProfileWindow(args.profile_dir)
+    timer = StepTimer()
     for epoch in range(args.n_epochs):
         for batch in train_loader:
             batch = mesh_lib.shard_batch(
                 mesh, {"img": batch["img"], "depth": batch["depth"]})
             state, m = step_fn(state, batch)
+            prof.tick()
+            sps = timer.tick()
             total_iter += args.batch_size
 
             if total_iter % (args.log_every * args.batch_size) < \
                     args.batch_size:
                 print(f"epoch {epoch + 1}/{args.n_epochs} iter "
                       f"{total_iter} loss {float(m['loss']):.5f} "
-                      f"({time.time() - t0:.1f}s)", flush=True)
+                      f"({time.time() - t0:.1f}s, {sps:.2f} steps/s)",
+                      flush=True)
 
             if total_iter % args.visualize_every < args.batch_size:
-                out = steps.make_dnet_eval_fn(model)(
-                    state, batch["img"][:1])
+                out = vis_fwd(state, batch["img"][:1])
                 visualize.visualize_dnet(args, batch["img"][:1],
                                          batch["depth"][:1], out,
                                          total_iter)

@@ -19,6 +19,7 @@ from magnet_tpu.eval import harness, metrics
 from magnet_tpu.models import build
 from magnet_tpu.train import checkpoint, optim, steps
 from magnet_tpu.utils import visualize
+from magnet_tpu.utils.profiling import ProfileWindow, StepTimer
 
 _TRAIN_MODES = {"scannet": "train", "kitti_eigen": "eigen_train",
                 "kitti_official": "official_train", "synthetic": "train"}
@@ -80,17 +81,22 @@ def main():
 
     total_iter = 0
     t0 = time.time()
+    prof = ProfileWindow(args.profile_dir)
+    timer = StepTimer()
     for epoch in range(args.n_epochs):
         for raw_batch in train_loader:
             batch = _device_batch(mesh, raw_batch)
             state, m = step_fn(state, batch)
+            prof.tick()
+            sps = timer.tick()
             total_iter += args.batch_size
 
             if total_iter % (args.log_every * args.batch_size) < \
                     args.batch_size:
                 print(f"epoch {epoch + 1}/{args.n_epochs} iter "
                       f"{total_iter} loss {float(m['loss']):.5f} "
-                      f"({time.time() - t0:.1f}s)", flush=True)
+                      f"({time.time() - t0:.1f}s, {sps:.2f} steps/s)",
+                      flush=True)
 
             if total_iter % args.visualize_every < args.batch_size:
                 pred = eval_fn(state, jax.tree.map(lambda x: x[:1], {
