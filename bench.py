@@ -10,14 +10,17 @@ upsampling.
 Prints ONE JSON line {metric, value, unit, vs_baseline}.
 
 vs_baseline: BASELINE.json's speed target is >=5x a PyTorch-GPU reference
-that publishes no throughput numbers. We anchor on an estimated 5 frames/s
-for the reference pipeline on a contemporary GPU (EffNet-B5 + PSM-Net on
-5 frames at 480x640 plus 12 python-loop grid_sample warps x 3 iterations),
-so vs_baseline = fps / (5 * 5). A measured torch anchor can replace the
-estimate in a later round.
+that publishes no throughput numbers. The GPU anchor is derived from a
+MEASUREMENT: scripts/bench_anchor.py times the reference torch pipeline on
+this host's CPU (the only hardware both codebases share) and scales by a
+documented CPU->GPU CNN-inference factor (see BASELINE.md "Speed anchor");
+the result is recorded in bench_anchor.json and read here, so
+vs_baseline = fps / (ref_gpu_fps * 5). Falls back to the recorded default
+when the json is absent.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -27,8 +30,19 @@ import numpy as np
 from magnet_tpu.models.magnet import Magnet
 
 H, W, V = 480, 640, 4
-ASSUMED_REF_GPU_FPS = 5.0
+# fallback = the last measured anchor (see bench_anchor.json / BASELINE.md)
+DEFAULT_REF_GPU_FPS = 5.0
 TARGET_MULTIPLIER = 5.0
+
+
+def ref_gpu_fps() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_anchor.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["ref_gpu_fps"])
+    except (OSError, KeyError, ValueError):
+        return DEFAULT_REF_GPU_FPS
 
 
 def example_inputs(batch=1):
@@ -101,7 +115,7 @@ def main(compute_dtype=jnp.bfloat16):
         "value": round(fps, 3),
         "unit": "frames/sec/chip (640x480, V=4, 3 iters)",
         "vs_baseline": round(
-            fps / (ASSUMED_REF_GPU_FPS * TARGET_MULTIPLIER), 3),
+            fps / (ref_gpu_fps() * TARGET_MULTIPLIER), 3),
     }))
 
 

@@ -30,6 +30,8 @@ import numpy as np
 from flax import traverse_util
 
 _HEAD_IDX = {"conv0": "0", "conv1": "2", "conv2": "4"}
+# MAGNET's own mask head has a 4th conv (MAGNET.py:112-117)
+_HEAD4_IDX = {"conv0": "0", "conv1": "2", "conv2": "4", "conv3": "6"}
 _GNET_IDX = {"conv1": "2", "conv2": "4", "conv3": "6"}
 _UP_IDX = {"conv_a": "_net.0", "conv_a_up": "_net.0",
            "conv_a_skip": "_net.0", "bn_a": "_net.1", "gn_a": "_net.1",
@@ -151,7 +153,7 @@ def translate_magnet(parts: Tuple[str, ...]) -> str:
             return f"g_net.gnet.0.{_leaf(parts)}"
         return f"g_net.gnet.{_GNET_IDX[parts[1]]}.{_leaf(parts)}"
     if top == "mask_head":
-        return f"mask_head.{_HEAD_IDX[parts[1]]}.{_leaf(parts)}"
+        return f"mask_head.{_HEAD4_IDX[parts[1]]}.{_leaf(parts)}"
     raise KeyError(f"unmapped Magnet path {parts}")
 
 

@@ -27,6 +27,13 @@ def make_mesh(n_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) are visible "
+                f"(platform={devices[0].platform}); for virtual devices set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N with "
+                "JAX_PLATFORMS=cpu before importing jax")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

@@ -181,11 +181,18 @@ def _train_augs(rng, args, img, depth, rotate_deg, crop_h, crop_w,
 
 def _make_loader(dataset, args, mode: str):
     train = "train" in mode
+    # Per-host epoch shard in multi-host training (the TPU-native
+    # DistributedSampler: every host sees a disjoint slice of the shuffled
+    # index list; reference data/dataloader_scannet.py:48-49). Single-host
+    # is (0, 1) so nothing changes.
+    import jax
     return base.Loader(
         dataset,
         batch_size=args.batch_size if train else 1,
         train=train, seed=getattr(args, "seed", 0),
-        num_workers=getattr(args, "workers", 4) if train else 1)
+        num_workers=getattr(args, "workers", 4) if train else 1,
+        host_index=jax.process_index() if train else 0,
+        host_count=jax.process_count() if train else 1)
 
 
 def ScanNetMultiViewLoader(args, mode):

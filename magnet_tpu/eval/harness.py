@@ -46,6 +46,29 @@ def evaluate_dnet(forward: Callable, loader, args,
     return avg.get_value()
 
 
+def evaluate_fnet(forward: Callable, loader, args,
+                  progress: bool = True) -> Dict[str, float]:
+    """F-Net in-training validation (train_FNet.py:148-186): forward(batch)
+    -> (1, h, w) soft-argmax depth at dpv resolution, nearest-upsampled to
+    the GT resolution; GT above max_depth zeroed; no variance (the L1-
+    trained sweep has no uncertainty), so the table has no NLL row."""
+    avg = M.RunningAverageDict()
+    for i, batch in enumerate(loader):
+        gt = np.asarray(batch["depth"])[0]
+        gt = np.where(gt > args.max_depth, 0.0, gt)
+        pred = np.asarray(forward(batch))[0]
+        H, W = gt.shape
+        iy = (np.arange(H) * pred.shape[0] // H).astype(np.int64)
+        ix = (np.arange(W) * pred.shape[1] // W).astype(np.int64)
+        pred = pred[iy][:, ix]
+        m = _eval_one(gt, pred, None, args)
+        if m is not None:
+            avg.update(m)
+        if progress and i % 200 == 0:
+            print(f"  eval {i}/{len(loader)}", flush=True)
+    return avg.get_value()
+
+
 def evaluate_magnet(forward: Callable, loader, args,
                     progress: bool = True) -> Dict[str, float]:
     """forward(batch) -> final (1,H,W,2) = (mu, sigma)."""

@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: fused consistency-weighted plane-sweep cost volume.
+
+Replaces the XLA corner-block-gather path of ``ops.costvolume.cost_volume_cw``
+(reference semantics: models/submodules/homography.py:79-161) for the hot
+inference loop. The XLA path spends ~4.8 ms/iteration in one
+``lax.gather`` of 384k (2,2,C) corner blocks plus ~2 ms of combine fusions;
+gather cost on TPU is per-slice overhead, so the fix is to stop gathering.
+
+Design (row-band + interpolation-matmul):
+  grid = (row_tiles, D candidates, V views), views innermost.
+  Per step, the kernel
+    1. DMAs a BAND-row slab of the packed source map (feat ‖ mu ‖ sigma,
+       (BAND, W, C+2)) from HBM into VMEM, starting at a per-(tile,d,v)
+       row offset r0 that is scalar-prefetched (computed in XLA as
+       floor(min y) over the tile, clamped in-bounds),
+    2. builds the dense horizontal bilinear weight tensor
+       wx[h, w_out, w_src] = max(0, 1 - |x[h,w_out] - w_src|) with iota —
+       exactly grid_sample's zeros-padding row interpolation — and
+       contracts it with each band row on the MXU,
+    3. combines band rows with the vertical weights
+       wy[h, w, r] = max(0, 1 - |y - (r0+r)|) in f32,
+    4. computes the matching dot against the reference-feature tile, the
+       consistency test |z - mu_warped| < kappa * sigma_warped
+       (homography.py:155-159), the view-validity mask, and
+    5. accumulates into the (d, tile) output block across the v steps.
+
+  Bilinear sampling therefore costs BAND x W x C MACs per output pixel on
+  the MXU instead of 4 gather slices — ~200x the FLOPs of a gather but
+  >3x faster wall-clock on v5e, because the MXU is free and slices are not.
+
+Exactness: identical to the XLA path (up to bf16 rounding of the weight
+matrix) whenever each (tile, candidate, view)'s sampled rows span at most
+BAND-1 source rows. Out-of-band samples degrade gracefully to the
+out-of-image value (zero cost) — the same failure semantics as leaving the
+frame. With BAND=16 and 8-row tiles this holds for any frame-to-frame
+motion under ~8 rows of vertical parallax spread per 8-row tile; the
+golden tests cover both in-band exactness and the is_valid / out-of-image
+edges. ``ops.costvolume.cost_volume_cw`` keeps the XLA path as the
+fallback and reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from magnet_tpu.ops import costvolume as cv_ops
+
+DEFAULT_BAND = 16
+DEFAULT_TILE_H = 8
+
+
+def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref, p_any, out_ref,
+            band_vmem, sem, *, band: int, n_feat: int, kappa: float,
+            matmul_dtype):
+    t = pl.program_id(0)
+    d = pl.program_id(1)
+    v = pl.program_id(2)
+
+    r0 = r0_ref[v, d, t]
+    copy = pltpu.make_async_copy(
+        p_any.at[v, pl.ds(r0, band)], band_vmem, sem)
+    copy.start()
+
+    x = x_ref[0, 0]                                   # (tile_h, W) f32
+    y = y_ref[0, 0]
+    z = z_ref[0, 0]
+    tile_h, W = x.shape
+    nc = band_vmem.shape[-1]
+
+    # Fused bilinear weight matrix, chunked along the contraction axis:
+    # column j of a chunk corresponds to source row j // W (+ chunk
+    # offset) and source column j % W, so
+    #   M[h, w_out, j] = wy(h, w_out, row(j)) * wx(h, w_out, j % W).
+    # Built directly from iota (no lane-dim reshapes, which Mosaic lowers
+    # through gathers). Chunk size c is chosen so c*W is a multiple of
+    # 128 — every MXU pass is full — while keeping the f32 weight
+    # transients a few MB under the VMEM scoped limit (the whole-band
+    # tensor at W=160 is 13 MB and OOMs).
+    import math
+    c_rows = 128 // math.gcd(W, 128)
+    while band % c_rows:
+        c_rows *= 2                                   # band is a pow2 mult
+    chunk = c_rows * W
+
+    copy.wait()
+
+    r0f = r0.astype(jnp.float32)
+    acc = jnp.zeros((tile_h, W, nc), jnp.float32)
+    for ci in range(band // c_rows):
+        j = jax.lax.broadcasted_iota(jnp.int32, (tile_h, W, chunk), 2)
+        r_idx = (j // W).astype(jnp.float32) + (r0f + ci * c_rows)
+        c_idx = (j % W).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - r_idx))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - c_idx))
+        m = (wy * wx).astype(matmul_dtype)            # (tile_h, W, chunk)
+        slab = band_vmem[ci * c_rows:(ci + 1) * c_rows].reshape(chunk, nc)
+        acc = acc + jax.lax.dot_general(
+            m, slab.astype(matmul_dtype),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (tile_h, W, nc)
+
+    q = q_ref[...].astype(jnp.float32)                # (tile_h, W, C_feat)
+    feat_cost = jnp.sum(acc[..., :n_feat] * q, axis=-1)
+    w_mu = acc[..., n_feat]
+    w_sigma = acc[..., n_feat + 1]
+    consistent = (jnp.abs(z - w_mu) < w_sigma * kappa)
+    contrib = feat_cost * consistent.astype(jnp.float32) * valid_ref[v]
+
+    @pl.when(v == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(v > 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + contrib
+
+
+def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
+                           R, t, valid, K, rays2d, kappa, band, tile_h,
+                           interpret):
+    """dvol: (D, H, W) f32; ref_feat: (H, W, C); src_*: (V, ...).
+    Returns (D, H, W) f32 = sum over views of weighted matching cost."""
+    V = src_feat.shape[0]
+    D, H, W = dvol.shape
+    C = ref_feat.shape[-1]
+    f32 = jnp.float32
+    mdt = jnp.bfloat16 if src_feat.dtype == jnp.bfloat16 else f32
+
+    # ---- XLA precompute: projection + per-tile band starts (cheap).
+    def proj(R_v, t_v):
+        return cv_ops._project(K.astype(f32), R_v.astype(f32),
+                               t_v.astype(f32), rays2d.astype(f32),
+                               dvol, H, W)
+    x, y, z = jax.vmap(proj)(R, t)                    # each (V, D, H, W)
+
+    n_tiles = H // tile_h
+    y_tiles = y.reshape(V, D, n_tiles, tile_h * W)
+    r0 = jnp.floor(y_tiles.min(axis=-1)).astype(jnp.int32)
+    r0 = jnp.clip(r0, 0, H - band)                    # (V, D, n_tiles)
+
+    # Packed channels padded to a full 128-lane tile: Mosaic requires the
+    # DMA slice's lane dim tile-aligned, and N=128 exactly fills the MXU.
+    n_pad = 128 - (C + 2)
+    packed = jnp.concatenate(
+        [src_feat.astype(mdt),
+         src_mu.astype(f32)[..., None].astype(mdt),
+         src_sigma.astype(f32)[..., None].astype(mdt),
+         jnp.zeros(src_mu.shape + (n_pad,), mdt)],
+        axis=-1)                                      # (V, H, W, 128)
+    queries = ref_feat.astype(mdt)                    # (H, W, C)
+
+    grid = (n_tiles, D, V)
+    coord_spec = pl.BlockSpec(
+        (1, 1, tile_h, W), lambda t_, d_, v_, *_: (v_, d_, t_, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((tile_h, W, C), lambda t_, d_, v_, *_: (t_, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # stays in HBM (19MB)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, W), lambda t_, d_, v_, *_: (d_, t_, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((band, W, 128), mdt),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_kernel, band=band, n_feat=C,
+                               kappa=float(kappa), matmul_dtype=mdt)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, H, W), f32),
+        interpret=interpret,
+    )(r0, valid.astype(f32), x, y, z, queries, packed)
+
+
+def supported(d_volume, H, W, tile_h: int = DEFAULT_TILE_H,
+              band: int = DEFAULT_BAND) -> bool:
+    """Shape gate for the kernel (fallback to XLA otherwise)."""
+    return H % tile_h == 0 and H >= band and W >= 2
+
+
+def cost_volume_cw_pallas(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
+                          src_feat: jnp.ndarray, src_mu: jnp.ndarray,
+                          src_sigma: jnp.ndarray, R: jnp.ndarray,
+                          t: jnp.ndarray, is_valid: jnp.ndarray,
+                          intM: jnp.ndarray, rays2d: jnp.ndarray,
+                          kappa: float, band: int = DEFAULT_BAND,
+                          tile_h: int = DEFAULT_TILE_H,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ``ops.costvolume.cost_volume_cw`` (same contract:
+    NHWC d_volume (B, H, W, D) in, (B, H, W, D) out, mean over V)."""
+    B, H, W, D = d_volume.shape
+    V = src_feat.shape[1]
+    dvol = jnp.moveaxis(d_volume, -1, 1).astype(jnp.float32)
+
+    outs = []
+    for b in range(B):
+        outs.append(_cost_volume_one_batch(
+            dvol[b], ref_feat[b], src_feat[b], src_mu[b], src_sigma[b],
+            R[b], t[b], is_valid[b], intM[b], rays2d[b], kappa,
+            band, tile_h, interpret))
+    cost = jnp.stack(outs) / float(V)                 # (B, D, H, W)
+    return jnp.moveaxis(cost, 1, -1)

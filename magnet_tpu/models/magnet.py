@@ -30,8 +30,8 @@ from flax import linen as nn
 
 from magnet_tpu.models.dnet import DNetCoarse
 from magnet_tpu.models.fnet import FNet
-from magnet_tpu.nn.densedepth import _Head
 from magnet_tpu.nn.gnet import GNet
+from magnet_tpu.nn.layers import Conv, relu
 from magnet_tpu.ops.costvolume import cost_volume_cw, cost_volume_sweep
 from magnet_tpu.ops.upsample import upsample_via_mask
 
@@ -47,6 +47,23 @@ def gaussian_sampling_offsets(sampling_range: float,
     p_list = (1 - p_total) / 2 + (idx / n_samples) * p_total
     k_list = norm.ppf(p_list)
     return ((k_list[1:] + k_list[:-1]) / 2).astype(np.float32)
+
+
+class MagnetMaskHead(nn.Module):
+    """MAGNET's learned-upsampling mask head: conv3x3 -> ReLU -> conv1x1 ->
+    ReLU -> conv1x1 -> ReLU -> conv1x1 (4 convs, hidden 128;
+    MAGNET.py:112-117). One conv DEEPER than the DenseDepth decoder's own
+    3-conv mask head (D_dense_depth.py:156-160) — torch Sequential indices
+    0/2/4/6 in released MAGNET checkpoints."""
+    out_ch: int
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        y = relu(Conv(self.hidden, 3, padding=1, name="conv0")(x))
+        y = relu(Conv(self.hidden, 1, name="conv1")(y))
+        y = relu(Conv(self.hidden, 1, name="conv2")(y))
+        return Conv(self.out_ch, 1, name="conv3")(y)
 
 
 def parse_weighting(weighting: str) -> float:
@@ -131,7 +148,7 @@ class Magnet(nn.Module):
 
         # ---- Shared learned upsampling
         k = self.downsample_ratio
-        mask = _Head(9 * k * k, name="mask_head")(x_d3)
+        mask = MagnetMaskHead(9 * k * k, name="mask_head")(x_d3)
         return [upsample_via_mask(p, mask, k) for p in pred_list[1:]]
 
 

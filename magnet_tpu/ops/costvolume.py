@@ -30,11 +30,23 @@ Layouts are NHWC: features (B, H, W, C); cost volumes (B, H, W, D).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from magnet_tpu.ops.resample import (bilinear_gather_block as
                                      bilinear_gather, gather_corner_block)
+
+
+def _use_pallas_cv() -> bool:
+    """The fused Pallas kernel (kernels/costvolume_pallas.py) replaces the
+    XLA gather path on TPU (~3x faster; golden-tested equal). Env override
+    MAGNET_TPU_PALLAS_CV=0/1 forces either path."""
+    env = os.environ.get("MAGNET_TPU_PALLAS_CV", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 _EPS_DIV = 1e-10
 _COORD_CLIP = 10.0
@@ -184,6 +196,17 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
     """
     B, H, W, D = d_volume.shape
     V = src_feat.shape[1]
+
+    # B == 1 only: the kernel unrolls the batch in python, which under a
+    # batch-sharded pjit would turn into cross-shard slicing; eval protocol
+    # is batch 1 (test_MaGNet.py:36) and training keeps the XLA path.
+    if B == 1 and _use_pallas_cv():
+        from magnet_tpu.kernels import costvolume_pallas as cvp
+        if cvp.supported(d_volume, H, W):
+            return cvp.cost_volume_cw_pallas(
+                d_volume, ref_feat, src_feat, src_mu, src_sigma, R, t,
+                is_valid, intM, rays2d, kappa)
+
     f32 = jnp.float32
     # Features match in bf16 when the backbone runs in bf16; geometry and
     # the consistency check always stay f32.

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Measure the REFERENCE pipeline's throughput (torch, this machine's CPU)
+to anchor bench.py's vs_baseline.
+
+The reference publishes no throughput numbers and no hardware spec
+(SURVEY.md section 6), so the GPU anchor must be derived. Round 1 used a
+bare 5 fps assumption; this script replaces it with a measurement chain:
+
+    measured: reference torch pipeline, batch 1, 640x480, V=4 source
+              views, D=5 candidates, 3 iterations — frames/sec on this
+              host's CPU (the only hardware both codebases can share).
+    derived:  ref_gpu_fps = ref_cpu_fps * GPU_SPEEDUP. GPU_SPEEDUP is the
+              PEAK-FLOP ratio of a contemporary (CVPR-2022-era) training
+              GPU over this core: V100 fp32 = 15.7 TFLOP/s vs one 2.1 GHz
+              Xeon core with AVX2 FMA = 2.1e9 * 32 = 0.067 TFLOP/s ->
+              234x. Granting the reference the FULL peak ratio (zero GPU
+              launch/sync overhead, despite its python per-view loops with
+              .item() syncs, homography.py:97) makes this an UPPER BOUND
+              on the reference's GPU throughput — i.e. the anchor most
+              generous to the reference and hardest on us.
+
+Writes bench_anchor.json {ref_cpu_fps, gpu_speedup, ref_gpu_fps, ...} at
+the repo root, which bench.py consumes (falling back to the documented
+constant when absent).
+
+The reference model runs with random weights (throughput is
+weight-independent) and its torch.hub EfficientNet dependency satisfied
+offline by the oracle trunk (tests/torch_ref.py), architecturally
+identical to gen-efficientnet B5.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+import types
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+GPU_SPEEDUP = 234.0   # V100 fp32 peak / single-Xeon-core AVX2 peak
+
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+sys.path.insert(0, ROOT)
+
+
+def build_reference_magnet():
+    import torch
+    import torch_ref
+    sys.path.insert(0, REF)
+    torch.hub.load = lambda *a, **k: torch_ref.EffNetB5Hub()
+    import models.MAGNET as M
+    import models.DNET as D
+    import models.FNET as F
+
+    args = types.SimpleNamespace(
+        output_type="G", output_dim=2,
+        DNET_architecture="DenseDepth_BN", downsample_ratio=4,
+        DNET_fix_encoder_weights="nothing",
+        FNET_architecture="PSM-Net", FNET_feature_dim=64,
+        MAGNET_sampling_range=3, MAGNET_num_samples=5,
+        MAGNET_mvs_weighting="CW5", MAGNET_num_train_iter=3,
+        MAGNET_num_test_iter=3, dpv_height=120, dpv_width=160)
+    tmp = tempfile.mkdtemp()
+    dnet, fnet = D.DNET(args, dnet=False), F.FNET(args)
+    args.DNET_ckpt = os.path.join(tmp, "d.pt")
+    args.FNET_ckpt = os.path.join(tmp, "f.pt")
+    torch.save({"model": dnet.state_dict()}, args.DNET_ckpt)
+    torch.save({"model": fnet.state_dict()}, args.FNET_ckpt)
+    model = M.MAGNET(args)
+    model.eval()
+    return model
+
+
+def main(n_frames: int = 3):
+    import numpy as np
+    import torch
+    torch.set_num_threads(os.cpu_count())
+
+    model = build_reference_magnet()
+
+    B, V, H, W = 1, 4, 480, 640
+    h, w = H // 4, W // 4
+    rng = np.random.RandomState(0)
+    ref_img = torch.from_numpy(rng.rand(B, 3, H, W).astype(np.float32))
+    nghbr = torch.from_numpy(rng.rand(B * V, 3, H, W).astype(np.float32))
+    poses = torch.from_numpy(
+        np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1)))
+    is_valid = torch.ones(B, V, dtype=torch.int32)
+    fx = 0.9 * w
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
+    grid = np.ones((h, w, 3), np.float32)
+    grid[:, :, 0] = (np.arange(w)[None] + 0.5 - K[0, 2]) / K[0, 0]
+    grid[:, :, 1] = (np.arange(h)[:, None] + 0.5 - K[1, 2]) / K[1, 1]
+    rays = grid.transpose(2, 0, 1).reshape(3, -1)
+    cam = {"intM": torch.from_numpy(np.tile(K, (B, 1, 1))),
+           "unit_ray_array_2D": torch.from_numpy(
+               np.tile(rays, (B, 1, 1)))}
+
+    with torch.no_grad():
+        model(ref_img, nghbr, poses, is_valid, cam, mode="test")  # warmup
+        times = []
+        for _ in range(n_frames):
+            t0 = time.perf_counter()
+            model(ref_img, nghbr, poses, is_valid, cam, mode="test")
+            times.append(time.perf_counter() - t0)
+
+    sec = min(times)
+    out = {
+        "ref_cpu_fps": round(1.0 / sec, 4),
+        "ref_cpu_sec_per_frame": round(sec, 3),
+        "cpu": "1x Intel Xeon @ 2.10GHz (this container)",
+        "gpu_speedup": GPU_SPEEDUP,
+        "ref_gpu_fps": round(GPU_SPEEDUP / sec, 3),
+        "shape": "640x480, V=4, D=5, 3 iters, batch 1",
+        "method": "reference torch pipeline, random weights, torch.hub "
+                  "satisfied offline by the oracle B5 trunk; min of "
+                  f"{n_frames} frames after 1 warmup",
+    }
+    path = os.path.join(ROOT, "bench_anchor.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Golden tests of the fused Pallas cost-volume kernel against the XLA
+reference path (ops/costvolume.py), interpret mode on CPU.
+
+The XLA path is itself golden-tested against torch F.grid_sample
+(tests/test_costvolume.py) and the full reference pipeline
+(tests/test_reference_oracle.py), so agreement here chains back to the
+reference homography semantics (homography.py:79-161)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from magnet_tpu.kernels.costvolume_pallas import (cost_volume_cw_pallas,
+                                                  supported)
+from magnet_tpu.ops.costvolume import cost_volume_cw
+
+
+def _inputs(B=2, V=3, H=24, W=32, C=8, D=5, seed=0, motion=0.03):
+    rng = np.random.RandomState(seed)
+    ref = rng.randn(B, H, W, C).astype(np.float32)
+    src = rng.randn(B, V, H, W, C).astype(np.float32)
+    mu = rng.uniform(1, 5, (B, V, H, W)).astype(np.float32)
+    sig = rng.uniform(0.1, 1.0, (B, V, H, W)).astype(np.float32)
+
+    def rot(ang):
+        c, s = np.cos(ang), np.sin(ang)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    R = np.stack([np.stack([rot(rng.uniform(-motion, motion))
+                            for _ in range(V)]) for _ in range(B)])
+    t = rng.uniform(-motion, motion, (B, V, 3)).astype(np.float32)
+    valid = np.ones((B, V), np.float32)
+    valid[-1, -1] = 0.0
+    fx = 0.9 * W
+    K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]], np.float32)
+    grid = np.ones((H, W, 3), np.float32)
+    grid[:, :, 0] = (np.arange(W)[None] + 0.5 - K[0, 2]) / K[0, 0]
+    grid[:, :, 1] = (np.arange(H)[:, None] + 0.5 - K[1, 2]) / K[1, 1]
+    rays = np.tile(grid.transpose(2, 0, 1).reshape(1, 3, -1), (B, 1, 1))
+    intM = np.tile(K, (B, 1, 1))
+    dvol = rng.uniform(1, 5, (B, H, W, D)).astype(np.float32)
+    return tuple(jnp.asarray(a) for a in
+                 (dvol, ref, src, mu, sig, R, t, valid, intM, rays))
+
+
+def test_pallas_cv_matches_xla_f32():
+    args = _inputs()
+    xla = np.asarray(cost_volume_cw(*args, 5.0))
+    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True))
+    np.testing.assert_allclose(pal, xla, atol=2e-6)
+    assert np.abs(xla).max() > 0.1          # non-degenerate
+
+
+def test_pallas_cv_matches_xla_bf16():
+    args = _inputs(seed=1)
+    args = (args[0], args[1].astype(jnp.bfloat16),
+            args[2].astype(jnp.bfloat16)) + args[3:]
+    xla = np.asarray(cost_volume_cw(*args, 5.0))
+    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True))
+    # Both paths round features to bf16; the pallas path additionally
+    # rounds the bilinear weights (<= 2^-9 relative). Pixels sitting
+    # exactly on the consistency threshold |z - mu| = kappa*sigma can
+    # flip under that rounding (both paths are equally "right" there) —
+    # allow a <0.5% flip fraction, tight tolerance elsewhere.
+    diff = np.abs(pal - xla)
+    flips = diff > 3e-2
+    assert flips.mean() < 5e-3, f"{flips.mean():.4f} flip fraction"
+    np.testing.assert_allclose(pal[~flips], xla[~flips], atol=3e-2)
+
+
+def test_pallas_cv_out_of_image_zero():
+    """Candidates projecting far outside the source view must contribute
+    zero cost (grid_sample zeros padding), matching the XLA path."""
+    args = list(_inputs(seed=2))
+    # huge translation throws every projection out of frame
+    args[6] = args[6] + 100.0
+    xla = np.asarray(cost_volume_cw(*args, 5.0))
+    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True))
+    np.testing.assert_allclose(pal, xla, atol=2e-6)
+    assert np.abs(xla).max() < 1e-5
+
+
+def test_pallas_cv_invalid_view_masked():
+    args = list(_inputs(B=1, V=2, seed=3))
+    all_valid = jnp.ones_like(args[7])
+    one_off = all_valid.at[0, 1].set(0.0)
+    a_on = args.copy(); a_on[7] = all_valid
+    a_off = args.copy(); a_off[7] = one_off
+    on = np.asarray(cost_volume_cw_pallas(*a_on, 5.0, interpret=True))
+    off = np.asarray(cost_volume_cw_pallas(*a_off, 5.0, interpret=True))
+    ref_off = np.asarray(cost_volume_cw(*a_off, 5.0))
+    assert np.abs(on - off).max() > 1e-6    # masking does something
+    np.testing.assert_allclose(off, ref_off, atol=2e-6)
+
+
+def test_supported_gate():
+    assert supported(None, 120, 160)
+    assert supported(None, 88, 304)
+    assert not supported(None, 12, 160)     # < band
+    assert not supported(None, 121, 160)    # not tile-divisible

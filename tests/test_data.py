@@ -142,3 +142,46 @@ def test_kitti_intrinsics_crop_shift():
     proj = proj / proj[2:3]
     u = proj[0].reshape(88, 304)
     np.testing.assert_allclose(u[0], np.arange(304) + 0.5, atol=1e-3)
+
+
+class _IdxDataset:
+    """Minimal dataset: item i is just its own index."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i, rng):
+        return {"i": np.asarray(i)}
+
+
+def test_loader_two_host_slices_partition_epoch():
+    """Multi-host data sharding (the TPU-native DistributedSampler,
+    reference dataloader_scannet.py:48-49): two hosts with the same seed
+    see disjoint slices that together cover the shuffled epoch."""
+    n = 20
+    seen = []
+    for hi in range(2):
+        ld = base.Loader(_IdxDataset(n), batch_size=2, train=True, seed=3,
+                         num_workers=1, host_index=hi, host_count=2)
+        items = [int(v) for b in ld for v in b["i"]]
+        assert len(items) == len(ld) * 2 == 10
+        seen.append(items)
+    assert not set(seen[0]) & set(seen[1])
+    assert set(seen[0]) | set(seen[1]) == set(range(n))
+
+
+def test_make_loader_wires_process_index(monkeypatch):
+    """_make_loader must feed jax.process_index/count into the train
+    Loader (multi-host hosts would otherwise all read the same data)."""
+    import jax
+    from magnet_tpu.data import scannet as sc
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    args = argparse.Namespace(batch_size=2, seed=0, workers=1)
+    ld = sc._make_loader(_IdxDataset(16), args, "train")
+    assert (ld.host_index, ld.host_count) == (2, 4)
+    ld = sc._make_loader(_IdxDataset(16), args, "long_test")
+    assert (ld.host_index, ld.host_count) == (0, 1)

@@ -70,6 +70,10 @@ def test_train_fnet_end_to_end(tmp_path):
         ] + _COMMON)
     _run("train_FNet.py", cfg)
     assert sorted(os.listdir(exp / "f" / "models"))
+    # in-training validation writes the 12-metric table
+    # (reference train_FNet.py:126-139,148-186)
+    acc = (exp / "f" / "log" / "eval_acc.txt").read_text()
+    assert "abs_rel" in acc and "total_iter" in acc
 
 
 def test_magnet_stage_chain(tmp_path):

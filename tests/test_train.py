@@ -145,3 +145,36 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_onecycle_beta1_matches_torch():
+    """beta1 cycling parity with torch OneCycleLR's cycle_momentum=True
+    (0.95 -> 0.85 -> 0.95, cosine, pct_start 0.3; train_DNet.py:56-57)."""
+    import torch
+    total = 40
+    p = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.AdamW([p], lr=1e-3, betas=(0.95, 0.999))
+    sch = torch.optim.lr_scheduler.OneCycleLR(topt, max_lr=1e-3,
+                                              total_steps=total)
+    ours = optim.onecycle_beta1(total)
+    tv, ov = [], []
+    for step in range(total):
+        tv.append(topt.param_groups[0]["betas"][0])
+        ov.append(float(ours(step)))
+        topt.step()
+        sch.step()
+    np.testing.assert_allclose(ov, tv, atol=1e-6)
+
+
+def test_onecycle_finite_at_tiny_total_steps():
+    """optax's cosine_onecycle divides by an int-truncated warmup length;
+    total_steps <= 3 used to yield NaN LR and NaN every parameter after
+    one step (caught driving train_FNet.py on the 4-sample synthetic
+    set)."""
+    for total in (1, 2, 3, 10):
+        s = optim.onecycle(1e-4, total)
+        vals = [float(s(i)) for i in range(total + 1)]
+        assert np.isfinite(vals).all(), (total, vals)
+        b = optim.onecycle_beta1(total)
+        bvals = [float(b(i)) for i in range(total + 1)]
+        assert np.isfinite(bvals).all(), (total, bvals)

@@ -131,6 +131,40 @@ class Encoder(nn.Module):
         return self.original_model(x)
 
 
+class _Swish(nn.Module):
+    def forward(self, x):
+        return swish(x)
+
+
+class EffNetB5Hub(nn.Module):
+    """EffNetB5 re-shaped like gen-efficientnet's GenEfficientNet: same
+    state-dict keys, but child-module ORDER and names match what
+    `torch.hub.load('rwightman/gen-efficientnet-pytorch', ...)` returns, so
+    the reference Encoder's `_modules.items()` feature collection
+    (D_dense_depth.py:17-25) taps the same tensors (features[4,5,6,8,11] =
+    blocks 0/1/2/4 outputs + pre-bn2 conv_head). Used to satisfy the
+    reference's torch.hub dependency offline in oracle tests."""
+
+    def __init__(self):
+        super().__init__()
+        base = EffNetB5()
+        self.conv_stem = base.conv_stem
+        self.bn1 = base.bn1
+        self.act1 = _Swish()
+        self.blocks = base.blocks
+        self.conv_head = base.conv_head
+        self.bn2 = base.bn2
+        self.act2 = _Swish()
+        self.global_pool = nn.Identity()
+        self.classifier = nn.Identity()
+
+    def forward(self, x):  # classification trunk; unused by the tests
+        y = self.act1(self.bn1(self.conv_stem(x)))
+        y = self.blocks(y)
+        y = self.act2(self.bn2(self.conv_head(y)))
+        return self.classifier(self.global_pool(y))
+
+
 class UpSampleBNT(nn.Module):
     def __init__(self, skip_input, out_f):
         super().__init__()

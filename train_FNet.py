@@ -14,7 +14,7 @@ import numpy as np
 
 from magnet_tpu.core import config, mesh as mesh_lib
 from magnet_tpu.data import make_multiview_loader
-from magnet_tpu.eval import metrics
+from magnet_tpu.eval import harness, metrics
 from magnet_tpu.models import build
 from magnet_tpu.models.magnet import MagnetF, sid_depth_centers
 from magnet_tpu.train import checkpoint, losses, optim, steps
@@ -23,6 +23,8 @@ from magnet_tpu.utils.profiling import ProfileWindow, StepTimer
 
 _TRAIN_MODES = {"scannet": "train", "kitti_eigen": "eigen_train",
                 "kitti_official": "official_train", "synthetic": "train"}
+_VAL_MODES = {"scannet": "long_test", "kitti_eigen": "eigen_test",
+              "kitti_official": "official_test", "synthetic": "test"}
 
 
 def _batch_to_device(mesh, batch, dpv_hw):
@@ -46,6 +48,7 @@ def main():
     mesh = mesh_lib.mesh_from_args(args)
     train_loader = make_multiview_loader(args,
                                          _TRAIN_MODES[args.dataset_name])
+    val_loader = make_multiview_loader(args, _VAL_MODES[args.dataset_name])
 
     d_center = sid_depth_centers(args.min_depth, args.max_depth,
                                  args.FNET_num_depth_bins)
@@ -91,6 +94,15 @@ def main():
                          train=False)
         return losses.soft_argmax_depth(cv, jnp.asarray(d_center))
 
+    def run_validation(state):
+        """12-metric validation table -> eval_acc.txt, the reference
+        protocol (train_FNet.py:126-139,148-186)."""
+        return harness.evaluate_fnet(
+            lambda b: vis_forward(state, {k: b[k] for k in
+                                          ("ref_img", "src_imgs", "R", "t",
+                                           "is_valid", "intM", "rays2d")}),
+            val_loader, args, progress=False)
+
     total_iter = 0
     t0 = time.time()
     prof = ProfileWindow(args.profile_dir)
@@ -118,8 +130,13 @@ def main():
                                          total_iter)
 
             if total_iter % args.validate_every < args.batch_size:
+                mts = run_validation(state)
+                metrics.log_metrics(args.eval_acc_txt, mts,
+                                    f"total_iter: {total_iter}")
                 checkpoint.save(args.exp_model_dir, state, total_iter)
 
+    mts = run_validation(state)
+    metrics.log_metrics(args.eval_acc_txt, mts, f"total_iter: {total_iter}")
     checkpoint.save(args.exp_model_dir, state, total_iter)
 
 
