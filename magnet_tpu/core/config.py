@@ -97,8 +97,18 @@ def _add_train_flags(p, default_batch: int):
     p.add_argument("--batch_size", default=default_batch, type=int)
     p.add_argument("--validate_every", default=5000, type=int)
     p.add_argument("--visualize_every", default=1000, type=int)
-    p.add_argument("--distributed", default=True, action="store_true")
+    # Accepted for reference-config compatibility (train_scripts pass it);
+    # informational only — SPMD sharding over jax.devices() always applies,
+    # there is no single-device DataParallel fallback to select between
+    # (reference: train_DNet.py:206-210).
+    p.add_argument("--distributed", default=True, action="store_true",
+                   help="no-op: data parallelism is always on under SPMD")
     p.add_argument("--workers", default=4, type=int)
+    # TPU-only extension (not in the reference): rematerialize encoder /
+    # residual blocks during backward to trade compute for activation
+    # memory (jax.checkpoint) — larger per-chip batches.
+    p.add_argument("--remat", default=False, action="store_true",
+                   help="checkpoint backbone blocks to save memory")
 
 
 def _add_optimizer_flags(p, with_same_lr: bool):

@@ -87,6 +87,11 @@ def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref, p_any, out_ref,
         c_rows *= 2                                   # band is a pow2 mult
     chunk = c_rows * W
 
+    # NOTE: hoisting the chunk-invariant weight pieces (wx from j % W,
+    # the row base from j // W) out of this loop was tried and measured
+    # SLOWER (2.50 -> 2.78 ms/call): two extra persistent
+    # (tile_h, W, chunk) f32 tensors (~6.6 MB) raise VMEM pressure more
+    # than the per-chunk VPU ops cost. Rebuilt per chunk on purpose.
     copy.wait()
 
     r0f = r0.astype(jnp.float32)

@@ -35,7 +35,8 @@ def build_dnet(args, init_hw: Tuple[int, int] = None):
     model = DNet(output_dim=args.output_dim,
                  output_type=args.output_type,
                  downsample_ratio=args.downsample_ratio,
-                 use_bn=_use_bn(args))
+                 use_bn=_use_bn(args),
+                 remat=getattr(args, "remat", False))
     h, w = init_hw or (args.input_height, args.input_width)
     variables = model.init(jax.random.PRNGKey(getattr(args, "seed", 0)),
                            jnp.zeros((1, h, w, 3), jnp.float32))
@@ -44,7 +45,8 @@ def build_dnet(args, init_hw: Tuple[int, int] = None):
 
 def build_fnet(args, init_hw: Tuple[int, int] = None):
     model = FNet(architecture=args.FNET_architecture,
-                 feature_dim=args.FNET_feature_dim)
+                 feature_dim=args.FNET_feature_dim,
+                 remat=getattr(args, "remat", False))
     h, w = init_hw or (args.input_height, args.input_width)
     variables = model.init(jax.random.PRNGKey(getattr(args, "seed", 0)),
                            jnp.zeros((1, h, w, 3), jnp.float32))

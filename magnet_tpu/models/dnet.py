@@ -43,6 +43,7 @@ class DNet(nn.Module):
     output_type: str = "G"
     downsample_ratio: int = 4
     use_bn: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -50,7 +51,8 @@ class DNet(nn.Module):
                          downsample_ratio=self.downsample_ratio,
                          learned_upsampling=True,
                          use_bn=self.use_bn,
-                         as_dnet=True, name="d_net")(img, train)
+                         as_dnet=True, remat=self.remat,
+                         name="d_net")(img, train)
         if self.output_type == "G":
             return activation_gaussian(out)
         return out

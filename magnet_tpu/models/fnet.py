@@ -15,9 +15,11 @@ from magnet_tpu.nn.psmnet import PSMNet
 class FNet(nn.Module):
     architecture: str = "PSM-Net"
     feature_dim: int = 64
+    remat: bool = False
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.architecture != "PSM-Net":
             raise ValueError(f"unknown F-Net arch {self.architecture!r}")
-        return PSMNet(feature_dim=self.feature_dim, name="f_net")(img, train)
+        return PSMNet(feature_dim=self.feature_dim, remat=self.remat,
+                      name="f_net")(img, train)

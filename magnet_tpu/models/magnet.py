@@ -157,6 +157,7 @@ class MagnetF(nn.Module):
     (MAGNET.py:179-202). d_center: (D,) sweep depths.
     Returns (B, h, w, D) softmaxed cost volume."""
     fnet_feature_dim: int = 64
+    remat: bool = False
 
     @nn.compact
     def __call__(self, ref_img, src_imgs, src_R, src_t, is_valid, intM,
@@ -165,7 +166,7 @@ class MagnetF(nn.Module):
         H, W = ref_img.shape[1], ref_img.shape[2]
         all_imgs = jnp.concatenate(
             [ref_img, src_imgs.reshape(B * V, H, W, 3)], axis=0)
-        feat = FNet(feature_dim=self.fnet_feature_dim,
+        feat = FNet(feature_dim=self.fnet_feature_dim, remat=self.remat,
                     name="f_net")(all_imgs, train=train)
         ref_feat = feat[:B]
         src_feat = feat[B:].reshape(B, V, *feat.shape[1:])

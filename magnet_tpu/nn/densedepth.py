@@ -90,13 +90,16 @@ class DenseDepth(nn.Module):
     learned_upsampling: bool = True
     use_bn: bool = True
     as_dnet: bool = True
+    remat: bool = False    # checkpoint encoder blocks + decoder stages
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        f4, f5, f6, f8, f11 = EfficientNetB5Features(name="encoder")(
-            x, train)
+        f4, f5, f6, f8, f11 = EfficientNetB5Features(
+            name="encoder", remat=self.remat)(x, train)
 
         Up = UpSampleBN if self.use_bn else UpSampleGN
+        if self.remat:
+            Up = nn.remat(Up, static_argnums=(3,))
         n_ups = {8: 2, 4: 3, 2: 4}[self.downsample_ratio]
         skips = [f8, f6, f5, f4][:n_ups]
         feats = 2048

@@ -104,7 +104,8 @@ class DepthwiseSeparable(nn.Module):
         c = self.cfg
         shortcut = x
         y = Conv(c["in_ch"], c["kernel"], c["stride"], padding="SAME",
-                 groups=c["in_ch"], use_bias=False, name="conv_dw")(x)
+                 groups=c["in_ch"], use_bias=False,
+                 name="conv_dw")(x, dw_pallas=not train)
         y = BatchNorm(eps=BN_EPS_TF, name="bn1")(y, train)
         y = swish(y)
         y = SqueezeExcite(max(1, int(c["in_ch"] * 0.25)), name="se")(y)
@@ -132,7 +133,7 @@ class InvertedResidual(nn.Module):
         y = BatchNorm(eps=BN_EPS_TF, name="bn1")(y, train)
         y = swish(y)
         y = Conv(mid, c["kernel"], c["stride"], padding="SAME", groups=mid,
-                 use_bias=False, name="conv_dw")(y)
+                 use_bias=False, name="conv_dw")(y, dw_pallas=not train)
         y = BatchNorm(eps=BN_EPS_TF, name="bn2")(y, train)
         y = swish(y)
         y = SqueezeExcite(max(1, int(c["in_ch"] * 0.25)), name="se")(y)
@@ -147,8 +148,16 @@ class InvertedResidual(nn.Module):
 
 
 class EfficientNetB5Features(nn.Module):
-    """Returns the 5 decoder taps (f4, f5, f6, f8, f11); see module doc."""
+    """Returns the 5 decoder taps (f4, f5, f6, f8, f11); see module doc.
+
+    remat=True checkpoints each block (jax.checkpoint via nn.remat):
+    activations inside a block are recomputed during backward instead of
+    stored, trading ~1 extra block forward for O(taps) instead of
+    O(all 39 blocks) of live activation memory — enables larger training
+    batches per chip.
+    """
     drop_connect_rate: float = 0.2
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -167,6 +176,8 @@ class EfficientNetB5Features(nn.Module):
                 dp = self.drop_connect_rate * block_idx / n_blocks
                 cls = DepthwiseSeparable if cfg["btype"] == "ds" \
                     else InvertedResidual
+                if self.remat:
+                    cls = nn.remat(cls, static_argnums=(2,))
                 y = cls(cfg, dp, name=f"blocks_{si}_{bi}")(y, train)
                 block_idx += 1
             taps[si] = y

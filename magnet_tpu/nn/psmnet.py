@@ -8,15 +8,33 @@ align_corners=True resize back), concat to 320 channels, and a final
 3x3 conv-BN-ReLU + 1x1 projection to ``feature_dim``. Output stride 4.
 
 Conv weights use Kaiming-normal fan-out init (F_psmnet.py:71-85).
+
+TPU inference path: runs of stride-1 residual blocks in layer2 (15 of 16)
+and layer3/layer4 execute as single fused Pallas kernels that keep the
+feature map resident in VMEM (kernels/psmstage_pallas.py) — golden-tested
+against this module's own XLA path, which remains the reference and the
+training path.
 """
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from magnet_tpu.nn.layers import BatchNorm, relu
 from magnet_tpu.ops.resample import avg_pool, resize_bilinear_align_corners
+
+
+def _use_psm_fused() -> bool:
+    """MAGNET_TPU_PALLAS_PSM=0/1 forces; default on for TPU. A forced '1'
+    on non-TPU backends runs in interpret mode (integration tests)."""
+    env = os.environ.get("MAGNET_TPU_PALLAS_PSM", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_out",
                                             "truncated_normal")
@@ -40,13 +58,23 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from magnet_tpu.nn.layers import _S2DConv, _s2d_applicable
         pad = self.dilation if self.dilation > 1 else self.pad
-        y = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, kernel_init=_kaiming_normal,
-                    name="conv")(x)
+        if self.dilation == 1 and _s2d_applicable(
+                x.shape, self.kernel, self.kernel,
+                (self.stride, self.stride)):
+            y = _S2DConv(features=self.features,
+                         kernel_size=(self.kernel, self.kernel),
+                         padding=((pad, pad), (pad, pad)), use_bias=False,
+                         dtype=None, kernel_init=_kaiming_normal,
+                         name="conv")(x)
+        else:
+            y = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((pad, pad), (pad, pad)),
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, kernel_init=_kaiming_normal,
+                        name="conv")(x)
         return BatchNorm(name="bn")(y, train)
 
 
@@ -74,9 +102,41 @@ class BasicBlock(nn.Module):
 
 class PSMNet(nn.Module):
     feature_dim: int = 64
+    remat: bool = False    # checkpoint residual blocks (larger batches)
+
+    @staticmethod
+    def _chain_ok(y, n_blocks: int, dilation: int) -> bool:
+        from magnet_tpu.kernels import psmstage_pallas as psp
+        return psp.supported(y.shape, n_blocks, dilation, y.dtype.itemsize)
+
+    def _fused_chain(self, y, li: int, b_range, dilation: int):
+        """Run BasicBlocks [b_range] of layer `li` as one fused Pallas
+        stage, reading this module's already-declared parameters (same
+        tree as the XLA path — checkpoint-identical)."""
+        from magnet_tpu.kernels import psmstage_pallas as psp
+        v = self.variables
+        paired = y.shape[-1] == 64
+        pack = psp.pack_conv_paired if paired else psp.pack_conv_natural
+        ws, ss, ts = [], [], []
+        for bi in b_range:
+            p = v["params"][f"layer{li}_{bi}"]
+            st = v["batch_stats"][f"layer{li}_{bi}"]
+            for cb in ("convbn1", "convbn2"):
+                ws.append(pack(p[cb]["conv"]["kernel"].astype(y.dtype)))
+                s_, t_ = psp.fold_bn(
+                    p[cb]["bn"]["bn"]["scale"], p[cb]["bn"]["bn"]["bias"],
+                    st[cb]["bn"]["bn"]["mean"], st[cb]["bn"]["bn"]["var"])
+                ss.append(s_)
+                ts.append(t_)
+        import jax as _jax
+        return psp.fused_residual_stage(
+            y, jnp.stack(ws), jnp.stack(ss), jnp.stack(ts), dilation,
+            paired, interpret=_jax.default_backend() != "tpu")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        Block = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat \
+            else BasicBlock
         # Stem (stride 2)
         y = relu(ConvBN(32, 3, 2, 1, name="firstconv0")(x, train))
         y = relu(ConvBN(32, 3, 1, 1, name="firstconv1")(y, train))
@@ -85,14 +145,23 @@ class PSMNet(nn.Module):
         # Residual stages: (planes, blocks, stride, dilation)
         stage_cfg = [(32, 3, 1, 1), (64, 16, 2, 1),
                      (128, 3, 1, 1), (128, 3, 1, 2)]
+        use_fused = (not train and not self.is_initializing()
+                     and _use_psm_fused())
         in_planes = 32
         outputs = []
         for li, (planes, blocks, stride, dil) in enumerate(stage_cfg, 1):
-            for bi in range(blocks):
+            bi = 0
+            while bi < blocks:
                 s = stride if bi == 0 else 1
                 down = bi == 0 and (s != 1 or in_planes != planes)
-                y = BasicBlock(planes, s, dil, down,
-                               name=f"layer{li}_{bi}")(y, train)
+                if use_fused and not down and s == 1 and blocks - bi > 1 \
+                        and self._chain_ok(y, blocks - bi, dil):
+                    y = self._fused_chain(y, li, range(bi, blocks), dil)
+                    bi = blocks
+                else:
+                    y = Block(planes, s, dil, down,
+                              name=f"layer{li}_{bi}")(y, train)
+                    bi += 1
                 in_planes = planes
             outputs.append(y)
 

@@ -178,3 +178,24 @@ def test_onecycle_finite_at_tiny_total_steps():
         b = optim.onecycle_beta1(total)
         bvals = [float(b(i)) for i in range(total + 1)]
         assert np.isfinite(bvals).all(), (total, bvals)
+
+
+def test_remat_grads_match_baseline():
+    """--remat (nn.remat over backbone blocks) must not change gradients,
+    only the backward-pass memory/compute schedule."""
+    from magnet_tpu.models.fnet import FNet
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    m0, m1 = FNet(remat=False), FNet(remat=True)
+    v = m0.init(jax.random.PRNGKey(0), img)
+
+    def grads(m):
+        def f(p):
+            out, _ = m.apply({"params": p,
+                              "batch_stats": v["batch_stats"]}, img,
+                             train=True, mutable=["batch_stats"])
+            return (out ** 2).mean()
+        return jax.grad(f)(v["params"])
+
+    for a, b in zip(jax.tree.leaves(grads(m0)), jax.tree.leaves(grads(m1))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

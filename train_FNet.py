@@ -53,7 +53,8 @@ def main():
     d_center = sid_depth_centers(args.min_depth, args.max_depth,
                                  args.FNET_num_depth_bins)
 
-    model = MagnetF(fnet_feature_dim=args.FNET_feature_dim)
+    model = MagnetF(fnet_feature_dim=args.FNET_feature_dim,
+                    remat=getattr(args, "remat", False))
     V = args.MAGNET_num_source_views
     h, w = args.input_height, args.input_width
     hh, ww = args.dpv_height, args.dpv_width
