@@ -247,10 +247,12 @@ def supported(x_shape, n_blocks: int, dilation: int,
         Wb, Cb = W, 128
     else:
         return False
-    # 2 resident buffers + im2col transients (~3x a (tile, Wb, 3Cb) slab
-    # and the f32 acc) + double-buffered weight blocks must fit VMEM.
+    # 2 resident buffers + im2col transients (one live (tile, Wb, 3Cb)
+    # slab set + the f32 acc) + double-buffered weight blocks must fit
+    # VMEM. Calibrated against a real v5e compile: ScanNet natural
+    # (5,120,160,128) at tile 24 -> ~15.7 MB estimate, compiles and runs.
     bufs = 2 * (H + 2 * _PAD) * Wb * Cb * itemsize
     th = _tile_h(H)
-    trans = 2 * th * Wb * 3 * Cb * itemsize + th * Wb * Cb * 4
+    trans = th * Wb * 3 * Cb * itemsize + th * Wb * Cb * 4
     wblk = 2 * 3 * ((4 if C == 64 else 3) * C) * Cb * itemsize
-    return bufs + trans + wblk <= 15 * 1024 * 1024
+    return bufs + trans + wblk <= 16 * 1024 * 1024

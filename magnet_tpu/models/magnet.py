@@ -143,7 +143,8 @@ class Magnet(nn.Module):
                                 rays2d, kappa)
             cv = jax.lax.stop_gradient(cv)
 
-            new_pred = g_net(cv.astype(x_d3.dtype), feat_contrib, prev)
+            new_pred = g_net(cv.astype(x_d3.dtype), feat_contrib, prev,
+                             train=train)
             pred_list.append(new_pred)
 
         # ---- Shared learned upsampling

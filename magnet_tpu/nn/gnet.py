@@ -25,6 +25,14 @@ from flax import linen as nn
 from magnet_tpu.nn.layers import Conv, relu
 
 
+def _use_pallas_gnet() -> bool:
+    import os
+    env = os.environ.get("MAGNET_TPU_PALLAS_GNET", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 class GNet(nn.Module):
     hidden: int = 128
     out_ch: int = 2
@@ -44,10 +52,26 @@ class GNet(nn.Module):
         return self.conv0_feat(feat)
 
     def __call__(self, cost_volume: jnp.ndarray, feat_contrib: jnp.ndarray,
-                 ref_gaussian: jnp.ndarray) -> jnp.ndarray:
+                 ref_gaussian: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
         """cost_volume: (B, H, W, D); feat_contrib: (B, H, W, hidden) from
         `precompute_feature`; ref_gaussian: (B, H, W, 2) = (mu_0, sigma_0).
-        Returns (B, H, W, 2) updated (mu, sigma)."""
+        Returns (B, H, W, 2) updated (mu, sigma).
+
+        Inference on TPU runs the whole update as one fused Pallas kernel
+        (kernels/gnet_pallas.py) — op-by-op these four tiny convs at
+        batch 1 are launch/layout-overhead bound (~1.4 ms/frame for
+        ~4.5 GFLOP). This module remains the reference/training path;
+        MAGNET_TPU_PALLAS_GNET=0/1 forces."""
+        if (not train and not self.is_initializing()
+                and _use_pallas_gnet()):
+            from magnet_tpu.kernels import gnet_pallas as gp
+            if gp.supported(cost_volume.shape, self.hidden):
+                import jax as _jax
+                return gp.gnet_update_pallas(
+                    cost_volume, feat_contrib, ref_gaussian,
+                    self.variables["params"],
+                    interpret=_jax.default_backend() != "tpu")
         y = self.conv0_cv(cost_volume)
         y = relu(y + feat_contrib.astype(y.dtype))
         y = relu(self.conv1(y))
