@@ -97,12 +97,15 @@ def _add_train_flags(p, default_batch: int):
     p.add_argument("--batch_size", default=default_batch, type=int)
     p.add_argument("--validate_every", default=5000, type=int)
     p.add_argument("--visualize_every", default=1000, type=int)
-    # Accepted for reference-config compatibility (train_scripts pass it);
-    # informational only — SPMD sharding over jax.devices() always applies,
-    # there is no single-device DataParallel fallback to select between
-    # (reference: train_DNet.py:206-210).
+    # Reference-config compatible (train_scripts pass bare --distributed,
+    # reference: train_DNet.py:206-210): on = SPMD data parallelism over
+    # the device mesh (the default), --no_distributed = force a
+    # single-device mesh (the reference's single-process path).
     p.add_argument("--distributed", default=True, action="store_true",
-                   help="no-op: data parallelism is always on under SPMD")
+                   help="shard the batch over all devices (default)")
+    p.add_argument("--no_distributed", dest="distributed",
+                   action="store_false",
+                   help="run on a single device (1-device mesh)")
     p.add_argument("--workers", default=4, type=int)
     # TPU-only extension (not in the reference): rematerialize encoder /
     # residual blocks during backward to trade compute for activation

@@ -42,6 +42,8 @@ def mesh_from_args(args) -> Mesh:
     """Data mesh from flags; 'auto' uses the most devices that evenly
     divide the global batch size (a 2-sample batch on an 8-chip host runs
     2-way)."""
+    if not getattr(args, "distributed", True):
+        return make_mesh(1)
     spec = getattr(args, "mesh_shape", "auto")
     n_avail = len(jax.devices())
     if spec in ("auto", "", None):

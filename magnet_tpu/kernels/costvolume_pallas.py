@@ -7,10 +7,12 @@ inference loop. The XLA path spends ~4.8 ms/iteration in one
 gather cost on TPU is per-slice overhead, so the fix is to stop gathering.
 
 Design (row-band + interpolation-matmul):
-  grid = (row_tiles, D candidates, V views), views innermost.
+  grid = (row_tiles, D candidates); the V-view loop is unrolled INSIDE
+  the kernel (a (tiles, D, V) grid was measured per-step-overhead bound).
   Per step, the kernel
-    1. DMAs a BAND-row slab of the packed source map (feat ‖ mu ‖ sigma,
-       (BAND, W, C+2)) from HBM into VMEM, starting at a per-(tile,d,v)
+    1. starts all V band DMAs up front — each a BAND-row slab of that
+       view's packed source map (feat ‖ mu ‖ sigma, (BAND, W, C+2)) from
+       HBM into its own VMEM slab, starting at a per-(tile,d,v)
        row offset r0 that is scalar-prefetched (computed in XLA as
        floor(min y) over the tile, clamped in-bounds),
     2. builds the dense horizontal bilinear weight tensor
@@ -54,75 +56,87 @@ DEFAULT_BAND = 16
 DEFAULT_TILE_H = 8
 
 
-def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref, p_any, out_ref,
-            band_vmem, sem, *, band: int, n_feat: int, kappa: float,
-            matmul_dtype):
+def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref, p_any,
+            out_ref, band_vmem, acc_ref, sem, *, n_views: int, band: int,
+            c_rows: int, n_feat: int, kappa: float, matmul_dtype):
     t = pl.program_id(0)
     d = pl.program_id(1)
-    v = pl.program_id(2)
 
-    r0 = r0_ref[v, d, t]
-    copy = pltpu.make_async_copy(
-        p_any.at[v, pl.ds(r0, band)], band_vmem, sem)
-    copy.start()
+    # All views' band DMAs start up front (independent scratch slabs +
+    # semaphores) so view v+1's copy overlaps view v's compute. The view
+    # loop lives INSIDE the kernel: a (tiles, D, V) grid spent more in
+    # per-step fixed costs (dispatch, q reload, out read-modify-write)
+    # than the skipped matmuls saved — folding V cut the grid 4x.
+    for v in range(n_views):
+        pltpu.make_async_copy(
+            p_any.at[v, pl.ds(r0_ref[v, d, t], band)],
+            band_vmem.at[v], sem.at[v]).start()
 
-    x = x_ref[0, 0]                                   # (tile_h, W) f32
-    y = y_ref[0, 0]
-    z = z_ref[0, 0]
-    tile_h, W = x.shape
+    tile_h, W = x_ref.shape[2:]
     nc = band_vmem.shape[-1]
-
-    # Fused bilinear weight matrix, chunked along the contraction axis:
-    # column j of a chunk corresponds to source row j // W (+ chunk
-    # offset) and source column j % W, so
-    #   M[h, w_out, j] = wy(h, w_out, row(j)) * wx(h, w_out, j % W).
-    # Built directly from iota (no lane-dim reshapes, which Mosaic lowers
-    # through gathers). Chunk size c is chosen so c*W is a multiple of
-    # 128 — every MXU pass is full — while keeping the f32 weight
-    # transients a few MB under the VMEM scoped limit (the whole-band
-    # tensor at W=160 is 13 MB and OOMs).
-    import math
-    c_rows = 128 // math.gcd(W, 128)
-    while band % c_rows:
-        c_rows *= 2                                   # band is a pow2 mult
     chunk = c_rows * W
-
-    # NOTE: hoisting the chunk-invariant weight pieces (wx from j % W,
-    # the row base from j // W) out of this loop was tried and measured
-    # SLOWER (2.50 -> 2.78 ms/call): two extra persistent
-    # (tile_h, W, chunk) f32 tensors (~6.6 MB) raise VMEM pressure more
-    # than the per-chunk VPU ops cost. Rebuilt per chunk on purpose.
-    copy.wait()
-
-    r0f = r0.astype(jnp.float32)
-    acc = jnp.zeros((tile_h, W, nc), jnp.float32)
-    for ci in range(band // c_rows):
-        j = jax.lax.broadcasted_iota(jnp.int32, (tile_h, W, chunk), 2)
-        r_idx = (j // W).astype(jnp.float32) + (r0f + ci * c_rows)
-        c_idx = (j % W).astype(jnp.float32)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - r_idx))
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - c_idx))
-        m = (wy * wx).astype(matmul_dtype)            # (tile_h, W, chunk)
-        slab = band_vmem[ci * c_rows:(ci + 1) * c_rows].reshape(chunk, nc)
-        acc = acc + jax.lax.dot_general(
-            m, slab.astype(matmul_dtype),
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (tile_h, W, nc)
-
     q = q_ref[...].astype(jnp.float32)                # (tile_h, W, C_feat)
-    feat_cost = jnp.sum(acc[..., :n_feat] * q, axis=-1)
-    w_mu = acc[..., n_feat]
-    w_sigma = acc[..., n_feat + 1]
-    consistent = (jnp.abs(z - w_mu) < w_sigma * kappa)
-    contrib = feat_cost * consistent.astype(jnp.float32) * valid_ref[v]
 
-    @pl.when(v == 0)
-    def _init():
-        out_ref[0] = contrib
+    total = jnp.zeros((tile_h, W), jnp.float32)
+    for v in range(n_views):
+        x = x_ref[v, 0]                               # (tile_h, W) f32
+        y = y_ref[v, 0]
+        z = z_ref[v, 0]
+        r0f = r0_ref[v, d, t].astype(jnp.float32)
+        nch = nch_ref[v, d, t]
+        pltpu.make_async_copy(
+            p_any.at[v, pl.ds(r0_ref[v, d, t], band)],
+            band_vmem.at[v], sem.at[v]).wait()
 
-    @pl.when(v > 0)
-    def _acc():
-        out_ref[0] = out_ref[0] + contrib
+        # Fused bilinear weight matrix, chunked along the contraction
+        # axis: column j of a chunk corresponds to source row j // W
+        # (+ chunk offset) and source column j % W, so
+        #   M[h, w_out, j] = wy(h, w_out, row(j)) * wx(h, w_out, j % W).
+        # Built directly from iota (no lane-dim reshapes, which Mosaic
+        # lowers through gathers). Chunk size c is chosen so c*W is a
+        # multiple of 128 — every MXU pass is full — while keeping the
+        # f32 weight transients a few MB under the VMEM scoped limit
+        # (the whole-band tensor at W=160 is 13 MB and OOMs).
+        #
+        # Chunks whose vertical weights are identically zero are
+        # skipped: nch = number of leading chunks overlapping
+        # [floor(min y), floor(max y) + 1] (host-side precompute,
+        # scalar-prefetched); wy == 0 rows contribute nothing, so the
+        # skip is exact. The accumulator lives in a VMEM scratch
+        # because a functional carry cannot cross pl.when.
+        #
+        # NOTE: hoisting the chunk-invariant weight pieces (wx from
+        # j % W, the row base from j // W) out of this loop was tried
+        # and measured SLOWER (2.50 -> 2.78 ms/call): two extra
+        # persistent (tile_h, W, chunk) f32 tensors (~6.6 MB) raise
+        # VMEM pressure more than the per-chunk VPU ops cost.
+        acc_ref[...] = jnp.zeros((tile_h, W, nc), jnp.float32)
+        for ci in range(band // c_rows):
+            @pl.when(ci < nch)
+            def _chunk(ci=ci, v=v, x=x, y=y, r0f=r0f):
+                j = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, W, chunk), 2)
+                r_idx = (j // W).astype(jnp.float32) + (r0f + ci * c_rows)
+                c_idx = (j % W).astype(jnp.float32)
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - r_idx))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - c_idx))
+                m = (wy * wx).astype(matmul_dtype)    # (tile_h, W, chunk)
+                slab = band_vmem[v, ci * c_rows:(ci + 1) * c_rows].reshape(
+                    chunk, nc)
+                acc_ref[...] += jax.lax.dot_general(
+                    m, slab.astype(matmul_dtype),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (tile_h, W, nc)
+        acc = acc_ref[...]
+
+        feat_cost = jnp.sum(acc[..., :n_feat] * q, axis=-1)
+        w_mu = acc[..., n_feat]
+        w_sigma = acc[..., n_feat + 1]
+        consistent = (jnp.abs(z - w_mu) < w_sigma * kappa)
+        total = total + (feat_cost * consistent.astype(jnp.float32)
+                         * valid_ref[v])
+
+    out_ref[0] = total
 
 
 def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
@@ -148,6 +162,19 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
     r0 = jnp.floor(y_tiles.min(axis=-1)).astype(jnp.int32)
     r0 = jnp.clip(r0, 0, H - band)                    # (V, D, n_tiles)
 
+    # Leading chunks that overlap the sampled rows (see _kernel). Rows
+    # touched by bilinear interp are [floor(y), floor(y)+1]; anything
+    # past floor(max y)+1 has wy == 0 and is skipped exactly. Rows past
+    # the band end never contribute either way (documented degrade).
+    import math
+    c_rows = 128 // math.gcd(W, 128)
+    while band % c_rows:
+        c_rows *= 2                                   # band is a pow2 mult
+    row_hi = jnp.floor(y_tiles.max(axis=-1)).astype(jnp.int32) + 1
+    n_rows = row_hi - r0 + 1
+    nch = jnp.clip((n_rows + c_rows - 1) // c_rows,
+                   0, band // c_rows)                 # (V, D, n_tiles)
+
     # Packed channels padded to a full 128-lane tile: Mosaic requires the
     # DMA slice's lane dim tile-aligned, and N=128 exactly fills the MXU.
     n_pad = 128 - (C + 2)
@@ -159,32 +186,34 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
         axis=-1)                                      # (V, H, W, 128)
     queries = ref_feat.astype(mdt)                    # (H, W, C)
 
-    grid = (n_tiles, D, V)
+    grid = (n_tiles, D)
     coord_spec = pl.BlockSpec(
-        (1, 1, tile_h, W), lambda t_, d_, v_, *_: (v_, d_, t_, 0))
+        (V, 1, tile_h, W), lambda t_, d_, *_: (0, d_, t_, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((tile_h, W, C), lambda t_, d_, v_, *_: (t_, 0, 0)),
+            pl.BlockSpec((tile_h, W, C), lambda t_, d_, *_: (t_, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),     # stays in HBM (19MB)
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, W), lambda t_, d_, v_, *_: (d_, t_, 0)),
+            (1, tile_h, W), lambda t_, d_, *_: (d_, t_, 0)),
         scratch_shapes=[
-            pltpu.VMEM((band, W, 128), mdt),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((V, band, W, 128), mdt),
+            pltpu.VMEM((tile_h, W, 128), f32),
+            pltpu.SemaphoreType.DMA((V,)),
         ],
     )
-    kernel = functools.partial(_kernel, band=band, n_feat=C,
-                               kappa=float(kappa), matmul_dtype=mdt)
+    kernel = functools.partial(_kernel, n_views=V, band=band,
+                               c_rows=c_rows, n_feat=C, kappa=float(kappa),
+                               matmul_dtype=mdt)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, H, W), f32),
         interpret=interpret,
-    )(r0, valid.astype(f32), x, y, z, queries, packed)
+    )(r0, nch, valid.astype(f32), x, y, z, queries, packed)
 
 
 def supported(d_volume, H, W, tile_h: int = DEFAULT_TILE_H,

@@ -40,6 +40,9 @@ import os
 # instead of XLA's convolution path; XLA relayouts tensors around grouped
 # convolutions (~10 ms/frame of 'data formatting' in the EfficientNet
 # trunk). Opt-in via env because the better choice is hardware-dependent.
+# MEASURED SLOWER on v5e end-to-end (19.1 vs 23.5 fps, 2026-08-16): the
+# VPU tap loop loses more than the relayouts cost, and XLA's BN/swish
+# epilogue fusion is lost. Kept as a documented experiment.
 _DW_SHIFT_ADD = os.environ.get("MAGNET_TPU_DW_SHIFT_ADD", "0") == "1"
 
 

@@ -17,6 +17,28 @@ def test_mesh_has_8_devices():
     assert m.devices.size == 8
 
 
+def test_no_distributed_forces_single_device_mesh():
+    """--no_distributed = the reference's single-process path
+    (train_DNet.py:206-210): a 1-device mesh regardless of batch size."""
+    import argparse
+
+    from magnet_tpu.core import config
+
+    req = ["--exp_name", "t", "--exp_dir", "/tmp/e", "--output_dim", "2",
+           "--output_type", "G", "--DNET_architecture", "DenseDepth_BN",
+           "--dataset_name", "synthetic", "--dataset_path", "/tmp/none"]
+    args = config.build_train_dnet_parser().parse_args(
+        req + ["--no_distributed", "--batch_size", "8"])
+    assert args.distributed is False
+    assert mesh_lib.mesh_from_args(args).devices.size == 1
+    on = config.build_train_dnet_parser().parse_args(
+        req + ["--distributed"])
+    assert on.distributed is True
+    assert mesh_lib.mesh_from_args(
+        argparse.Namespace(distributed=True, mesh_shape="auto",
+                           batch_size=8)).devices.size == 8
+
+
 def test_sharded_dnet_train_step_matches_single_device():
     """A data-parallel step over the 8-device mesh must produce the same
     update as the single-device computation (global batch stats == SyncBN,
