@@ -56,9 +56,10 @@ DEFAULT_BAND = 16
 DEFAULT_TILE_H = 8
 
 
-def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref, p_any,
-            out_ref, band_vmem, acc_ref, sem, *, n_views: int, band: int,
-            c_rows: int, n_feat: int, kappa: float, matmul_dtype):
+def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
+            rc_ref, p_any, out_ref, band_vmem, acc_ref, sem, *,
+            n_views: int, band: int, c_rows: int, n_feat: int,
+            kappa: float, matmul_dtype):
     t = pl.program_id(0)
     d = pl.program_id(1)
 
@@ -111,13 +112,16 @@ def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref, p_any,
         # persistent (tile_h, W, chunk) f32 tensors (~6.6 MB) raise
         # VMEM pressure more than the per-chunk VPU ops cost.
         acc_ref[...] = jnp.zeros((tile_h, W, nc), jnp.float32)
+        # rc_ref holds the grid-invariant column patterns (j // W, j % W)
+        # precomputed once in XLA: rebuilding them per chunk from iota
+        # (div, mod, convert on the full (tile, W, chunk) tensor) was ~5
+        # of the ~13 VPU ops of the weight build — the kernel's bound.
+        r_rel = rc_ref[0]                             # (chunk,) f32
+        c_idx = rc_ref[1]
         for ci in range(band // c_rows):
             @pl.when(ci < nch)
             def _chunk(ci=ci, v=v, x=x, y=y, r0f=r0f):
-                j = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_h, W, chunk), 2)
-                r_idx = (j // W).astype(jnp.float32) + (r0f + ci * c_rows)
-                c_idx = (j % W).astype(jnp.float32)
+                r_idx = r_rel + (r0f + ci * c_rows)
                 wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - r_idx))
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - c_idx))
                 m = (wy * wx).astype(matmul_dtype)    # (tile_h, W, chunk)
@@ -186,6 +190,11 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
         axis=-1)                                      # (V, H, W, 128)
     queries = ref_feat.astype(mdt)                    # (H, W, C)
 
+    # Grid-invariant weight-column patterns (see _kernel): row index and
+    # column index of each contraction column within a chunk.
+    j = jnp.arange(c_rows * W)
+    rc = jnp.stack([(j // W).astype(f32), (j % W).astype(f32)])
+
     grid = (n_tiles, D)
     coord_spec = pl.BlockSpec(
         (V, 1, tile_h, W), lambda t_, d_, *_: (0, d_, t_, 0))
@@ -195,6 +204,7 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
         in_specs=[
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec((tile_h, W, C), lambda t_, d_, *_: (t_, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # rc patterns (tiny)
             pl.BlockSpec(memory_space=pltpu.ANY),     # stays in HBM (19MB)
         ],
         out_specs=pl.BlockSpec(
@@ -213,7 +223,7 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, H, W), f32),
         interpret=interpret,
-    )(r0, nch, valid.astype(f32), x, y, z, queries, packed)
+    )(r0, nch, valid.astype(f32), x, y, z, queries, rc, packed)
 
 
 def supported(d_volume, H, W, tile_h: int = DEFAULT_TILE_H,

@@ -25,6 +25,10 @@ MXU mapping:
     per-dy weight matrix is ((kw+1)*64, 2*64) holding both pixels' taps
     (entry [(dx6, ci), (p, co)] = w[dy, dx6-p, ci, co], zero outside the
     3-tap window). 75% of the MXU work is useful vs <=50% unpaired.
+  * C=32 stages (stem convs 2-3 and layer1, at 240x320): pixel-QUAD
+    packing — four adjacent pixels in lanes, buffer (H, W/4, 128), two
+    dots per dy (see pack_conv_quad): 62.5% useful MXU work vs <=25%
+    unpacked. Stem chains run with residual=False (conv-BN-ReLU each).
 
 Weights/BN are packed once per trace by the `pack_*` helpers (pure jnp,
 negligible). Training and non-TPU backends keep the reference XLA path
@@ -72,6 +76,30 @@ def pack_conv_natural(w: jnp.ndarray) -> jnp.ndarray:
 _PAIR_DX6 = (1, 0, 3, 2)
 
 
+def pack_conv_quad(w: jnp.ndarray) -> jnp.ndarray:
+    """w: (3, 3, 32, 32) -> (3, 2*128, 128) pixel-QUAD matrices (C=32:
+    four horizontally adjacent pixels share the 128 lanes, lane =
+    (q, ci) q-major). Two contraction groups per dy:
+      group A (unshifted packed slab): A[(q,ci),(p,co)] = w[dy,q-p+1,ci,co]
+        for 0 <= q-p+1 < 3 — all in-group taps (10 of 12).
+      group B (lane-selected slab: q=0 lanes hold group pg+1, q=3 lanes
+        group pg-1): B[(0,ci),(3,co)] = w[dy,2]; B[(3,ci),(0,co)] =
+        w[dy,0] — the two cross-group taps.
+    62.5% of the 2-dot MXU work is useful vs <=25% lane use unpacked."""
+    kh, kw, ci, co = w.shape
+    a = jnp.zeros((kh, 4 * ci, 4 * co), w.dtype)
+    for q in range(4):
+        for p in range(4):
+            dx = q - p + 1
+            if 0 <= dx < kw:
+                a = a.at[:, q * ci:(q + 1) * ci,
+                         p * co:(p + 1) * co].set(w[:, dx])
+    b = jnp.zeros((kh, 4 * ci, 4 * co), w.dtype)
+    b = b.at[:, 0:ci, 3 * co:4 * co].set(w[:, 2])
+    b = b.at[:, 3 * ci:4 * ci, 0:co].set(w[:, 0])
+    return jnp.concatenate([a, b], axis=1)
+
+
 def pack_conv_paired(w: jnp.ndarray) -> jnp.ndarray:
     """w: (3, 3, C, C) -> (3, (kw+1)*C, 2*C) pixel-pair matrix: output lane
     (p, co) for original column 2*pg+p; contraction row group g for
@@ -103,7 +131,8 @@ def _shift_w(slab, d: int):
 
 
 def _kernel(x_hbm, w_ref, s_ref, t_ref, out_hbm, a_buf, b_buf, sem, *,
-            n_convs: int, H: int, d: int, paired: bool, tile_h: int):
+            n_convs: int, H: int, d: int, mode: str, residual: bool,
+            tile_h: int):
     """Grid (frame, conv). a_buf holds the current block's input (+ the
     running residual); b_buf holds the intermediate after conv1. The
     feature map moves HBM->VMEM once per frame and back once — x/out stay
@@ -142,7 +171,7 @@ def _kernel(x_hbm, w_ref, s_ref, t_ref, out_hbm, a_buf, b_buf, sem, *,
             acc = jnp.zeros((tile_h, Wb, Cb), f32)
             for dy in range(3):
                 slab = src_buf[pl.ds(r0 + (dy - 1) * d, tile_h)]
-                if paired:
+                if mode == "paired":
                     left = _shift_w(slab, -1)
                     right = _shift_w(slab, 1)
                     lane = jax.lax.broadcasted_iota(
@@ -153,6 +182,18 @@ def _kernel(x_hbm, w_ref, s_ref, t_ref, out_hbm, a_buf, b_buf, sem, *,
                     # row-group order matches _PAIR_DX6 in pack_conv_paired
                     acc = acc + dot(lo, w_ref[0, dy, :Cb])
                     acc = acc + dot(hi, w_ref[0, dy, Cb:])
+                elif mode == "quad":
+                    # group A: unshifted slab, in-group taps; group B:
+                    # q=0 lanes take the right (pg+1) slab (feeds p=3),
+                    # q=3 lanes the left (pg-1) slab (feeds p=0) — see
+                    # pack_conv_quad. q=1,2 lanes multiply zero rows.
+                    left = _shift_w(slab, -1)
+                    right = _shift_w(slab, 1)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, slab.shape, 2)
+                    s_b = jnp.where(lane < Cb // 4, right, left)
+                    acc = acc + dot(slab, w_ref[0, dy, :Cb])
+                    acc = acc + dot(s_b, w_ref[0, dy, Cb:])
                 else:
                     acc = acc + dot(_shift_w(slab, -d), w_ref[0, dy, :Cb])
                     acc = acc + dot(slab, w_ref[0, dy, Cb:2 * Cb])
@@ -164,9 +205,14 @@ def _kernel(x_hbm, w_ref, s_ref, t_ref, out_hbm, a_buf, b_buf, sem, *,
             if is_conv1:
                 b_buf[pl.ds(r0, tile_h)] = jnp.maximum(y, 0.0).astype(
                     b_buf.dtype)
-            else:
+            elif residual:
                 res = a_buf[pl.ds(r0, tile_h)]
                 a_buf[pl.ds(r0, tile_h)] = (y + res.astype(f32)).astype(
+                    a_buf.dtype)
+            else:
+                # stem chain (conv-BN-ReLU each, no skip): even convs
+                # land here with a plain ReLU write-back.
+                a_buf[pl.ds(r0, tile_h)] = jnp.maximum(y, 0.0).astype(
                     a_buf.dtype)
             return ()
         return body
@@ -189,27 +235,32 @@ def _kernel(x_hbm, w_ref, s_ref, t_ref, out_hbm, a_buf, b_buf, sem, *,
 
 def fused_residual_stage(x: jnp.ndarray, weights: jnp.ndarray,
                          scales: jnp.ndarray, shifts: jnp.ndarray,
-                         dilation: int, paired: bool,
+                         dilation: int, mode: str,
+                         residual: bool = True,
                          interpret: bool = False) -> jnp.ndarray:
     """x: (N, H, W, C) NHWC feature map; weights: (n_convs, 3, K, Cout)
-    packed per-dy matrices (pack_conv_paired for C=64, pack_conv_natural
-    for C=128); scales/shifts: (n_convs, Cout) f32 folded BN; one static
-    dilation for the whole chain. Returns (N, H, W, C)."""
+    packed per-dy matrices (pack_conv_quad for C=32, pack_conv_paired for
+    C=64, pack_conv_natural for C=128); scales/shifts: (n_convs, Cout)
+    f32 folded BN; one static dilation for the whole chain. mode:
+    'natural' | 'paired' | 'quad'. residual=False runs the chain as
+    stem-style conv-BN-ReLU convs (no skip; n_convs must stay even).
+    Returns (N, H, W, C)."""
     N, H, W, C = x.shape
     n_convs = weights.shape[0]
-    if paired:
-        xb = x.reshape(N, H, W // 2, 2 * C)
-        # output lanes are (pixel parity, channel): duplicate the folded
-        # BN vectors across both parities
-        scales = jnp.concatenate([scales, scales], axis=-1)
-        shifts = jnp.concatenate([shifts, shifts], axis=-1)
+    pack_px = {"natural": 1, "paired": 2, "quad": 4}[mode]
+    if pack_px > 1:
+        xb = x.reshape(N, H, W // pack_px, pack_px * C)
+        # output lanes are (pixel index, channel): duplicate the folded
+        # BN vectors across the packed pixels
+        scales = jnp.concatenate([scales] * pack_px, axis=-1)
+        shifts = jnp.concatenate([shifts] * pack_px, axis=-1)
     else:
         xb = x
     Wb, Cb = xb.shape[2], xb.shape[3]
 
     kernel = functools.partial(_kernel, n_convs=n_convs, H=H,
-                               d=int(dilation), paired=paired,
-                               tile_h=_tile_h(H))
+                               d=int(dilation), mode=mode,
+                               residual=residual, tile_h=_tile_h(H))
     out = pl.pallas_call(
         kernel,
         grid=(N, n_convs),
@@ -229,9 +280,14 @@ def fused_residual_stage(x: jnp.ndarray, weights: jnp.ndarray,
         ],
         interpret=interpret,
     )(xb, weights, scales.astype(jnp.float32), shifts.astype(jnp.float32))
-    if paired:
+    if pack_px > 1:
         out = out.reshape(N, H, W, C)
     return out
+
+
+def mode_for(C: int):
+    """Packing mode for a channel count, or None if unsupported."""
+    return {32: "quad", 64: "paired", 128: "natural"}.get(C)
 
 
 def supported(x_shape, n_blocks: int, dilation: int,
@@ -239,14 +295,17 @@ def supported(x_shape, n_blocks: int, dilation: int,
     N, H, W, C = x_shape
     if _tile_h(H) is None or n_blocks < 1 or dilation > _PAD:
         return False
-    if C == 64:
-        if W % 2:
-            return False
-        Wb, Cb = W // 2, 128
-    elif C == 128:
-        Wb, Cb = W, 128
-    else:
+    mode = mode_for(C)
+    if mode is None:
         return False
+    pack_px = {"natural": 1, "paired": 2, "quad": 4}[mode]
+    if W % pack_px:
+        return False
+    if pack_px > 1 and dilation != 1:
+        # packed-pixel im2col shifts whole groups: horizontal taps are
+        # hard-wired to distance 1
+        return False
+    Wb, Cb = W // pack_px, 128
     # 2 resident buffers + im2col transients (one live (tile, Wb, 3Cb)
     # slab set + the f32 acc) + double-buffered weight blocks must fit
     # VMEM. Calibrated against a real v5e compile: ScanNet natural
@@ -254,5 +313,6 @@ def supported(x_shape, n_blocks: int, dilation: int,
     bufs = 2 * (H + 2 * _PAD) * Wb * Cb * itemsize
     th = _tile_h(H)
     trans = th * Wb * 3 * Cb * itemsize + th * Wb * Cb * 4
-    wblk = 2 * 3 * ((4 if C == 64 else 3) * C) * Cb * itemsize
+    w_rows = {"quad": 8 * C, "paired": 4 * C, "natural": 3 * C}[mode]
+    wblk = 2 * 3 * w_rows * Cb * itemsize
     return bufs + trans + wblk <= 16 * 1024 * 1024

@@ -115,8 +115,9 @@ class PSMNet(nn.Module):
         tree as the XLA path — checkpoint-identical)."""
         from magnet_tpu.kernels import psmstage_pallas as psp
         v = self.variables
-        paired = y.shape[-1] == 64
-        pack = psp.pack_conv_paired if paired else psp.pack_conv_natural
+        mode = psp.mode_for(y.shape[-1])
+        pack = {"quad": psp.pack_conv_quad, "paired": psp.pack_conv_paired,
+                "natural": psp.pack_conv_natural}[mode]
         ws, ss, ts = [], [], []
         for bi in b_range:
             p = v["params"][f"layer{li}_{bi}"]
@@ -131,22 +132,47 @@ class PSMNet(nn.Module):
         import jax as _jax
         return psp.fused_residual_stage(
             y, jnp.stack(ws), jnp.stack(ss), jnp.stack(ts), dilation,
-            paired, interpret=_jax.default_backend() != "tpu")
+            mode, interpret=_jax.default_backend() != "tpu")
+
+    def _fused_stem(self, y):
+        """Run firstconv1 + firstconv2 (conv-BN-ReLU each,
+        F_psmnet.py:41-43) as one fused quad-packed Pallas chain
+        (residual=False), reading the already-declared parameters."""
+        from magnet_tpu.kernels import psmstage_pallas as psp
+        v = self.variables
+        ws, ss, ts = [], [], []
+        for name in ("firstconv1", "firstconv2"):
+            p = v["params"][name]
+            st = v["batch_stats"][name]
+            ws.append(psp.pack_conv_quad(
+                p["conv"]["kernel"].astype(y.dtype)))
+            s_, t_ = psp.fold_bn(
+                p["bn"]["bn"]["scale"], p["bn"]["bn"]["bias"],
+                st["bn"]["bn"]["mean"], st["bn"]["bn"]["var"])
+            ss.append(s_)
+            ts.append(t_)
+        import jax as _jax
+        return psp.fused_residual_stage(
+            y, jnp.stack(ws), jnp.stack(ss), jnp.stack(ts), 1, "quad",
+            residual=False, interpret=_jax.default_backend() != "tpu")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         Block = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat \
             else BasicBlock
+        use_fused = (not train and not self.is_initializing()
+                     and _use_psm_fused())
         # Stem (stride 2)
         y = relu(ConvBN(32, 3, 2, 1, name="firstconv0")(x, train))
-        y = relu(ConvBN(32, 3, 1, 1, name="firstconv1")(y, train))
-        y = relu(ConvBN(32, 3, 1, 1, name="firstconv2")(y, train))
+        if use_fused and self._chain_ok(y, 1, 1):
+            y = self._fused_stem(y)
+        else:
+            y = relu(ConvBN(32, 3, 1, 1, name="firstconv1")(y, train))
+            y = relu(ConvBN(32, 3, 1, 1, name="firstconv2")(y, train))
 
         # Residual stages: (planes, blocks, stride, dilation)
         stage_cfg = [(32, 3, 1, 1), (64, 16, 2, 1),
                      (128, 3, 1, 1), (128, 3, 1, 2)]
-        use_fused = (not train and not self.is_initializing()
-                     and _use_psm_fused())
         in_planes = 32
         outputs = []
         for li, (planes, blocks, stride, dil) in enumerate(stage_cfg, 1):
