@@ -56,8 +56,8 @@ DEFAULT_BAND = 16
 DEFAULT_TILE_H = 8
 
 
-def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
-            rc_ref, p_any, out_ref, band_vmem, acc_ref, sem, *,
+def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
+            rc_ref, p_any, out_ref, band_vmem, sem, *,
             n_views: int, band: int, c_rows: int, n_feat: int,
             kappa: float, matmul_dtype):
     t = pl.program_id(0)
@@ -67,7 +67,7 @@ def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
     # semaphores) so view v+1's copy overlaps view v's compute. The view
     # loop lives INSIDE the kernel: a (tiles, D, V) grid spent more in
     # per-step fixed costs (dispatch, q reload, out read-modify-write)
-    # than the skipped matmuls saved — folding V cut the grid 4x.
+    # than it saved — folding V cut the grid 4x.
     for v in range(n_views):
         pltpu.make_async_copy(
             p_any.at[v, pl.ds(r0_ref[v, d, t], band)],
@@ -77,6 +77,10 @@ def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
     nc = band_vmem.shape[-1]
     chunk = c_rows * W
     q = q_ref[...].astype(jnp.float32)                # (tile_h, W, C_feat)
+    # rc_ref holds the grid-invariant column patterns (j // W, j % W)
+    # precomputed once in XLA.
+    r_rel = rc_ref[0]                                 # (chunk,) f32
+    c_idx = rc_ref[1]
 
     total = jnp.zeros((tile_h, W), jnp.float32)
     for v in range(n_views):
@@ -84,7 +88,6 @@ def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
         y = y_ref[v, 0]
         z = z_ref[v, 0]
         r0f = r0_ref[v, d, t].astype(jnp.float32)
-        nch = nch_ref[v, d, t]
         pltpu.make_async_copy(
             p_any.at[v, pl.ds(r0_ref[v, d, t], band)],
             band_vmem.at[v], sem.at[v]).wait()
@@ -93,45 +96,42 @@ def _kernel(r0_ref, nch_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
         # axis: column j of a chunk corresponds to source row j // W
         # (+ chunk offset) and source column j % W, so
         #   M[h, w_out, j] = wy(h, w_out, row(j)) * wx(h, w_out, j % W).
-        # Built directly from iota (no lane-dim reshapes, which Mosaic
-        # lowers through gathers). Chunk size c is chosen so c*W is a
-        # multiple of 128 — every MXU pass is full — while keeping the
-        # f32 weight transients a few MB under the VMEM scoped limit
-        # (the whole-band tensor at W=160 is 13 MB and OOMs).
+        # Built from precomputed index patterns (no lane-dim reshapes,
+        # which Mosaic lowers through gathers). Chunk size c is chosen so
+        # c*W is a multiple of 128 — every MXU pass is full — while
+        # keeping the f32 weight transients a few MB under the VMEM
+        # scoped limit (the whole-band tensor at W=160 is 13 MB, OOMs).
         #
-        # Chunks whose vertical weights are identically zero are
-        # skipped: nch = number of leading chunks overlapping
-        # [floor(min y), floor(max y) + 1] (host-side precompute,
-        # scalar-prefetched); wy == 0 rows contribute nothing, so the
-        # skip is exact. The accumulator lives in a VMEM scratch
-        # because a functional carry cannot cross pl.when.
-        #
-        # NOTE: hoisting the chunk-invariant weight pieces (wx from
-        # j % W, the row base from j // W) out of this loop was tried
-        # and measured SLOWER (2.50 -> 2.78 ms/call): two extra
-        # persistent (tile_h, W, chunk) f32 tensors (~6.6 MB) raise
-        # VMEM pressure more than the per-chunk VPU ops cost.
-        acc_ref[...] = jnp.zeros((tile_h, W, nc), jnp.float32)
-        # rc_ref holds the grid-invariant column patterns (j // W, j % W)
-        # precomputed once in XLA: rebuilding them per chunk from iota
-        # (div, mod, convert on the full (tile, W, chunk) tensor) was ~5
-        # of the ~13 VPU ops of the weight build — the kernel's bound.
-        r_rel = rc_ref[0]                             # (chunk,) f32
-        c_idx = rc_ref[1]
-        for ci in range(band // c_rows):
-            @pl.when(ci < nch)
-            def _chunk(ci=ci, v=v, x=x, y=y, r0f=r0f):
-                r_idx = r_rel + (r0f + ci * c_rows)
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - r_idx))
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - c_idx))
-                m = (wy * wx).astype(matmul_dtype)    # (tile_h, W, chunk)
-                slab = band_vmem[v, ci * c_rows:(ci + 1) * c_rows].reshape(
-                    chunk, nc)
-                acc_ref[...] += jax.lax.dot_general(
-                    m, slab.astype(matmul_dtype),
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (tile_h, W, nc)
-        acc = acc_ref[...]
+        # The chunk loop is SOFTWARE-PIPELINED: chunk i's dot is issued,
+        # chunk i+1's weight build (VPU) runs while the MXU retires it,
+        # and the accumulate that consumes dot i happens after build
+        # i+1. The serial build->dot->accumulate chain was the kernel's
+        # bound (measured 2.5 -> 1.8 ms/call pipelined). An earlier
+        # exact zero-weight chunk-skip (scalar-prefetched active count +
+        # pl.when) measured neutral and is incompatible with the
+        # pipeline's cross-chunk registers; pipelining won.
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - c_idx))
+
+        def build(ci, y=y, r0f=r0f, wx=wx):
+            r_idx = r_rel + (r0f + ci * c_rows)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - r_idx))
+            return (wy * wx).astype(matmul_dtype)     # (tile_h, W, chunk)
+
+        def dot(m, ci, v=v):
+            slab = band_vmem[v, ci * c_rows:(ci + 1) * c_rows].reshape(
+                chunk, nc)
+            return jax.lax.dot_general(
+                m, slab.astype(matmul_dtype),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (tile_h, W, nc)
+
+        acc = None
+        pend = dot(build(0), 0)
+        for ci in range(1, band // c_rows):
+            nxt = dot(build(ci), ci)                  # build overlaps pend
+            acc = pend if acc is None else acc + pend
+            pend = nxt
+        acc = pend if acc is None else acc + pend
 
         feat_cost = jnp.sum(acc[..., :n_feat] * q, axis=-1)
         w_mu = acc[..., n_feat]
@@ -166,18 +166,10 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
     r0 = jnp.floor(y_tiles.min(axis=-1)).astype(jnp.int32)
     r0 = jnp.clip(r0, 0, H - band)                    # (V, D, n_tiles)
 
-    # Leading chunks that overlap the sampled rows (see _kernel). Rows
-    # touched by bilinear interp are [floor(y), floor(y)+1]; anything
-    # past floor(max y)+1 has wy == 0 and is skipped exactly. Rows past
-    # the band end never contribute either way (documented degrade).
     import math
     c_rows = 128 // math.gcd(W, 128)
     while band % c_rows:
         c_rows *= 2                                   # band is a pow2 mult
-    row_hi = jnp.floor(y_tiles.max(axis=-1)).astype(jnp.int32) + 1
-    n_rows = row_hi - r0 + 1
-    nch = jnp.clip((n_rows + c_rows - 1) // c_rows,
-                   0, band // c_rows)                 # (V, D, n_tiles)
 
     # Packed channels padded to a full 128-lane tile: Mosaic requires the
     # DMA slice's lane dim tile-aligned, and N=128 exactly fills the MXU.
@@ -199,7 +191,7 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
     coord_spec = pl.BlockSpec(
         (V, 1, tile_h, W), lambda t_, d_, *_: (0, d_, t_, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             coord_spec, coord_spec, coord_spec,
@@ -211,7 +203,6 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
             (1, tile_h, W), lambda t_, d_, *_: (d_, t_, 0)),
         scratch_shapes=[
             pltpu.VMEM((V, band, W, 128), mdt),
-            pltpu.VMEM((tile_h, W, 128), f32),
             pltpu.SemaphoreType.DMA((V,)),
         ],
     )
@@ -223,7 +214,7 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, H, W), f32),
         interpret=interpret,
-    )(r0, nch, valid.astype(f32), x, y, z, queries, rc, packed)
+    )(r0, valid.astype(f32), x, y, z, queries, rc, packed)
 
 
 def supported(d_volume, H, W, tile_h: int = DEFAULT_TILE_H,
