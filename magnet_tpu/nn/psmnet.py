@@ -208,6 +208,25 @@ class PSMNet(nn.Module):
 
         # Concat order: raw, skip, branch4, branch3, branch2, branch1
         # (F_psmnet.py:122).
+        from magnet_tpu.kernels import spptail_pallas as spt
+        if use_fused and spt.supported(out_skip.shape, self.feature_dim):
+            from magnet_tpu.kernels import psmstage_pallas as psp
+            import jax as _jax
+            p = self.variables["params"]
+            st = self.variables["batch_stats"]
+            br = jnp.concatenate(
+                [branches[3], branches[2], branches[1], branches[0]],
+                axis=-1)
+            s0, t0 = psp.fold_bn(
+                p["lastconv0"]["bn"]["bn"]["scale"],
+                p["lastconv0"]["bn"]["bn"]["bias"],
+                st["lastconv0"]["bn"]["bn"]["mean"],
+                st["lastconv0"]["bn"]["bn"]["var"])
+            return spt.spp_tail_fused(
+                out_raw, out_skip, br,
+                p["lastconv0"]["conv"]["kernel"], s0, t0,
+                p["lastconv1"]["kernel"][0, 0],
+                interpret=_jax.default_backend() != "tpu")
         cat = jnp.concatenate(
             [out_raw, out_skip, branches[3], branches[2], branches[1],
              branches[0]], axis=-1)
