@@ -134,6 +134,32 @@ class PSMNet(nn.Module):
             y, jnp.stack(ws), jnp.stack(ss), jnp.stack(ts), dilation,
             mode, interpret=_jax.default_backend() != "tpu")
 
+    def _fused_downsample(self, y, li: int):
+        """Run the layer2_0 stride-2 downsample block (quad in, pair
+        out) as one fused Pallas kernel (kernels/psmtrans_pallas.py)."""
+        from magnet_tpu.kernels import psmstage_pallas as psp
+        from magnet_tpu.kernels import psmtrans_pallas as ptr
+        v = self.variables
+        p = v["params"][f"layer{li}_0"]
+        st = v["batch_stats"][f"layer{li}_0"]
+
+        def bn(cb):
+            return psp.fold_bn(
+                p[cb]["bn"]["bn"]["scale"], p[cb]["bn"]["bn"]["bias"],
+                st[cb]["bn"]["bn"]["mean"], st[cb]["bn"]["bn"]["var"])
+
+        s1, t1 = bn("convbn1")
+        s2, t2 = bn("convbn2")
+        sp_, tp_ = psp.fold_bn(
+            p["down_bn"]["bn"]["scale"], p["down_bn"]["bn"]["bias"],
+            st["down_bn"]["bn"]["mean"], st["down_bn"]["bn"]["var"])
+        import jax as _jax
+        return ptr.downsample_block(
+            y, p["convbn1"]["conv"]["kernel"], s1, t1,
+            p["convbn2"]["conv"]["kernel"], s2, t2,
+            p["down_conv"]["kernel"], sp_, tp_,
+            interpret=_jax.default_backend() != "tpu")
+
     def _fused_stem(self, y):
         """Run firstconv1 + firstconv2 (conv-BN-ReLU each,
         F_psmnet.py:41-43) as one fused quad-packed Pallas chain
@@ -180,6 +206,13 @@ class PSMNet(nn.Module):
             while bi < blocks:
                 s = stride if bi == 0 else 1
                 down = bi == 0 and (s != 1 or in_planes != planes)
+                if use_fused and down and s == 2 and planes == 64:
+                    from magnet_tpu.kernels import psmtrans_pallas as ptr
+                    if ptr.supported(y.shape):
+                        y = self._fused_downsample(y, li)
+                        bi += 1
+                        in_planes = planes
+                        continue
                 if use_fused and not down and s == 1 and blocks - bi > 1 \
                         and self._chain_ok(y, blocks - bi, dil):
                     y = self._fused_chain(y, li, range(bi, blocks), dil)
