@@ -39,11 +39,16 @@ import os
 # Depthwise convs can run as explicit shift-multiply-accumulate on the VPU
 # instead of XLA's convolution path; XLA relayouts tensors around grouped
 # convolutions (~10 ms/frame of 'data formatting' in the EfficientNet
-# trunk). Opt-in via env because the better choice is hardware-dependent.
-# MEASURED SLOWER on v5e end-to-end (19.1 vs 23.5 fps, 2026-08-16): the
-# VPU tap loop loses more than the relayouts cost, and XLA's BN/swish
-# epilogue fusion is lost. Kept as a documented experiment.
+# trunk). Measured on v5e end-to-end (2026-08-17): ALL dw convs
+# shift-add (=1) LOSES (19.1 vs 26.2 fps — the VPU tap loop loses on
+# the wide-channel late stages), but applying it selectively to the
+# narrow early stages WINS big: threshold 48 (= exactly EfficientNet
+# stage 1 at 240x320, whose XLA grouped convs are layout-copy bound)
+# gives 26.2 -> 28.4 fps; threshold 144 (adding stage 2's expanded dw)
+# regresses to 25.3. Default MAXC=48; both env-overridable.
 _DW_SHIFT_ADD = os.environ.get("MAGNET_TPU_DW_SHIFT_ADD", "0") == "1"
+_DW_SHIFT_ADD_MAXC = int(
+    os.environ.get("MAGNET_TPU_DW_SHIFT_ADD_MAXC", "48"))
 
 
 def _same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
@@ -259,7 +264,8 @@ class Conv(nn.Module):
             return _S2DConv(features=self.features, kernel_size=(kh, kw),
                             padding=epad, use_bias=self.use_bias,
                             dtype=self.dtype, name="conv")(x)
-        if _DW_SHIFT_ADD and is_depthwise:
+        if is_depthwise and (_DW_SHIFT_ADD
+                             or x.shape[-1] <= _DW_SHIFT_ADD_MAXC):
             return _DWShiftAddConv(
                 features=self.features, kernel_size=_pair(self.kernel_size),
                 stride=_pair(self.stride), padding=pad,
