@@ -265,7 +265,8 @@ class Conv(nn.Module):
                             padding=epad, use_bias=self.use_bias,
                             dtype=self.dtype, name="conv")(x)
         if is_depthwise and (_DW_SHIFT_ADD
-                             or x.shape[-1] <= _DW_SHIFT_ADD_MAXC):
+                             or (x.shape[-1] <= _DW_SHIFT_ADD_MAXC
+                                 and _pair(self.stride) == (1, 1))):
             return _DWShiftAddConv(
                 features=self.features, kernel_size=_pair(self.kernel_size),
                 stride=_pair(self.stride), padding=pad,
