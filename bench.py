@@ -65,12 +65,37 @@ def example_inputs(batch=1):
     )
 
 
+def realistic_depth_init(variables):
+    """Nudge the depth head's final biases so the measured regime matches
+    deployment: mu ~ 2 m (positive metric depth), sigma ~ 0.2 m.
+
+    Freshly-initialized weights predict mu ~ 0 with sigma ~ 1, so the
+    Gaussian-sampled candidate depths are near-zero or NEGATIVE —
+    geometry no trained network ever produces (depth is positive by
+    construction) which sends the plane-sweep projections to degenerate
+    coordinates. The compute graph is unchanged; only the data regime the
+    timing sees becomes the deployed one. (mu bias = 2; sigma-param bias
+    = -3 -> sigma = sqrt(elu(-3)+1) ~ 0.22, DNET.py:62-67 activation.)"""
+    from flax.core import unfreeze
+    v = unfreeze(variables)
+    head = v["params"]["d_net"]["d_net"]["depth_head"]["conv2"]["conv"]
+    assert head["bias"].shape == (2,), head["bias"].shape
+    head["bias"] = jnp.asarray([2.0, -3.0], head["bias"].dtype)
+    return v
+
+
+def example_variables(model, inputs):
+    """Init + realistic-regime depth biases (shared with the profiler)."""
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+    return realistic_depth_init(variables)
+
+
 def main(compute_dtype=jnp.bfloat16):
     from magnet_tpu.core.dtypes import cast_floating
 
     model = Magnet(n_iters=3)
     inputs = example_inputs()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+    variables = example_variables(model, inputs)
 
     def cast_in(variables, ref_img, src_imgs, *rest):
         # bf16 conv compute; geometry tensors stay f32 (recast internally)

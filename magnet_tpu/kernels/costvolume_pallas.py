@@ -56,6 +56,83 @@ DEFAULT_BAND = 16
 DEFAULT_TILE_H = 8
 
 
+def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
+                 q_ref, rc_ref, p_any, out_ref, band_vmem, acc_ref, sem, *,
+                 n_views: int, band: int, c_rows: int, n_feat: int,
+                 kappa: float, matmul_dtype):
+    """Pair-banded variant: each PAIR of output rows contracts only over a
+    c_rows-row slab at its own scalar-prefetched offset rp (plus a second
+    slab under ``pl.when`` when the pair's vertical footprint needs it),
+    instead of every output row contracting over the whole band. Cuts both
+    the VPU weight build and the MXU contraction ~band/c_rows x; exact
+    whenever a pair's sampled rows span <= 2*c_rows - 2 source rows
+    (degrading to the same zero-cost semantics beyond, like the band
+    kernel beyond band - 1)."""
+    t = pl.program_id(0)
+    d = pl.program_id(1)
+
+    for v in range(n_views):
+        pltpu.make_async_copy(
+            p_any.at[v, pl.ds(r0_ref[v, d, t], band)],
+            band_vmem.at[v], sem.at[v]).start()
+
+    tile_h, W = x_ref.shape[2:]
+    nc = band_vmem.shape[-1]
+    chunk = c_rows * W
+    n_pairs = tile_h // 2
+    q = q_ref[...].astype(jnp.float32)                # (tile_h, W, C_feat)
+    r_rel = rc_ref[0]                                 # (chunk,) f32
+    c_idx = rc_ref[1]
+
+    total = jnp.zeros((tile_h, W), jnp.float32)
+    for v in range(n_views):
+        x = x_ref[v, 0]                               # (tile_h, W) f32
+        y = y_ref[v, 0]
+        z = z_ref[v, 0]
+        r0 = r0_ref[v, d, t]
+        r0f = r0.astype(jnp.float32)
+        pltpu.make_async_copy(
+            p_any.at[v, pl.ds(r0, band)],
+            band_vmem.at[v], sem.at[v]).wait()
+
+        for p in range(n_pairs):
+            sl = slice(2 * p, 2 * p + 2)
+            xp = x[sl]                                # (2, W)
+            yp = y[sl]
+            rp = rp_ref[v, d, t, p]
+            base = r0f + rp.astype(jnp.float32)
+            wxp = jnp.maximum(0.0, 1.0 - jnp.abs(xp[..., None] - c_idx))
+
+            def build(off, yp=yp, base=base, wxp=wxp):
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(yp[..., None] - (r_rel + base + off)))
+                return (wy * wxp).astype(matmul_dtype)  # (2, W, chunk)
+
+            def dot(m, off, v=v, rp=rp):
+                slab = band_vmem[v, pl.ds(rp + off, c_rows)].reshape(
+                    chunk, nc)
+                return jax.lax.dot_general(
+                    m, slab.astype(matmul_dtype),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (2, W, nc)
+
+            acc_ref[sl] = dot(build(0), 0)
+
+            @pl.when(two_ref[v, d, t, p] > 0)
+            def _second(build=build, dot=dot, sl=sl):
+                acc_ref[sl] += dot(build(c_rows), c_rows)
+
+        acc = acc_ref[...]
+        feat_cost = jnp.sum(acc[..., :n_feat] * q, axis=-1)
+        w_mu = acc[..., n_feat]
+        w_sigma = acc[..., n_feat + 1]
+        consistent = (jnp.abs(z - w_mu) < w_sigma * kappa)
+        total = total + (feat_cost * consistent.astype(jnp.float32)
+                         * valid_ref[v])
+
+    out_ref[0] = total
+
+
 def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
             rc_ref, p_any, out_ref, band_vmem, sem, *,
             n_views: int, band: int, c_rows: int, n_feat: int,
@@ -145,7 +222,7 @@ def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
 
 def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
                            R, t, valid, K, rays2d, kappa, band, tile_h,
-                           interpret):
+                           interpret, pair):
     """dvol: (D, H, W) f32; ref_feat: (H, W, C); src_*: (V, ...).
     Returns (D, H, W) f32 = sum over views of weighted matching cost."""
     V = src_feat.shape[0]
@@ -161,15 +238,28 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
                                dvol, H, W)
     x, y, z = jax.vmap(proj)(R, t)                    # each (V, D, H, W)
 
+    import math
+    c_rows = 128 // math.gcd(W, 128)
+    while band % c_rows:
+        c_rows *= 2                                   # band is a pow2 mult
+    band = max(band, 2 * c_rows)                      # room for 2 pair slabs
+
     n_tiles = H // tile_h
     y_tiles = y.reshape(V, D, n_tiles, tile_h * W)
     r0 = jnp.floor(y_tiles.min(axis=-1)).astype(jnp.int32)
     r0 = jnp.clip(r0, 0, H - band)                    # (V, D, n_tiles)
 
-    import math
-    c_rows = 128 // math.gcd(W, 128)
-    while band % c_rows:
-        c_rows *= 2                                   # band is a pow2 mult
+    if pair:
+        # Per-PAIR slab offsets relative to r0: rp = clip(floor(min y of
+        # the 2-row pair) - r0, 0, band - 2*c_rows), and whether the
+        # pair's footprint [floor(min y), floor(max y) + 1] needs a
+        # second c_rows slab.
+        y_pairs = y.reshape(V, D, n_tiles, tile_h // 2, 2 * W)
+        fmin = jnp.floor(y_pairs.min(axis=-1)).astype(jnp.int32)
+        fmax = jnp.floor(y_pairs.max(axis=-1)).astype(jnp.int32)
+        rp = jnp.clip(fmin - r0[..., None], 0, band - 2 * c_rows)
+        two = ((fmax + 1) - (r0[..., None] + rp)
+               > c_rows - 1).astype(jnp.int32)        # (V, D, T, pairs)
 
     # Packed channels padded to a full 128-lane tile: Mosaic requires the
     # DMA slice's lane dim tile-aligned, and N=128 exactly fills the MXU.
@@ -190,37 +280,57 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
     grid = (n_tiles, D)
     coord_spec = pl.BlockSpec(
         (V, 1, tile_h, W), lambda t_, d_, *_: (0, d_, t_, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[
-            coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((tile_h, W, C), lambda t_, d_, *_: (t_, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # rc patterns (tiny)
-            pl.BlockSpec(memory_space=pltpu.ANY),     # stays in HBM (19MB)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_h, W), lambda t_, d_, *_: (d_, t_, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((V, band, W, 128), mdt),
-            pltpu.SemaphoreType.DMA((V,)),
-        ],
-    )
-    kernel = functools.partial(_kernel, n_views=V, band=band,
-                               c_rows=c_rows, n_feat=C, kappa=float(kappa),
-                               matmul_dtype=mdt)
+    in_specs = [
+        coord_spec, coord_spec, coord_spec,
+        pl.BlockSpec((tile_h, W, C), lambda t_, d_, *_: (t_, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.VMEM),        # rc patterns (tiny)
+        pl.BlockSpec(memory_space=pltpu.ANY),         # stays in HBM (19MB)
+    ]
+    out_spec = pl.BlockSpec(
+        (1, tile_h, W), lambda t_, d_, *_: (d_, t_, 0))
+    scratch = [
+        pltpu.VMEM((V, band, W, 128), mdt),
+        pltpu.SemaphoreType.DMA((V,)),
+    ]
+    if pair:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4, grid=grid, in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=[scratch[0],
+                            pltpu.VMEM((tile_h, W, 128), f32),
+                            scratch[1]])
+        kernel = functools.partial(
+            _kernel_pair, n_views=V, band=band, c_rows=c_rows, n_feat=C,
+            kappa=float(kappa), matmul_dtype=mdt)
+        args = (r0, rp, two, valid.astype(f32), x, y, z, queries, rc,
+                packed)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=scratch)
+        kernel = functools.partial(
+            _kernel, n_views=V, band=band, c_rows=c_rows, n_feat=C,
+            kappa=float(kappa), matmul_dtype=mdt)
+        args = (r0, valid.astype(f32), x, y, z, queries, rc, packed)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, H, W), f32),
         interpret=interpret,
-    )(r0, valid.astype(f32), x, y, z, queries, rc, packed)
+    )(*args)
 
 
 def supported(d_volume, H, W, tile_h: int = DEFAULT_TILE_H,
               band: int = DEFAULT_BAND) -> bool:
     """Shape gate for the kernel (fallback to XLA otherwise)."""
     return H % tile_h == 0 and H >= band and W >= 2
+
+
+def use_pair_kernel() -> bool:
+    """Default: the pair-banded kernel (~2x less VPU+MXU work than the
+    full-band kernel). MAGNET_TPU_CV_PAIR=0 forces the band kernel."""
+    import os
+    return os.environ.get("MAGNET_TPU_CV_PAIR", "1") == "1"
 
 
 def cost_volume_cw_pallas(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
@@ -230,11 +340,14 @@ def cost_volume_cw_pallas(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
                           intM: jnp.ndarray, rays2d: jnp.ndarray,
                           kappa: float, band: int = DEFAULT_BAND,
                           tile_h: int = DEFAULT_TILE_H,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          pair: bool = None) -> jnp.ndarray:
     """Drop-in for ``ops.costvolume.cost_volume_cw`` (same contract:
     NHWC d_volume (B, H, W, D) in, (B, H, W, D) out, mean over V)."""
     B, H, W, D = d_volume.shape
     V = src_feat.shape[1]
+    if pair is None:
+        pair = use_pair_kernel()
     dvol = jnp.moveaxis(d_volume, -1, 1).astype(jnp.float32)
 
     outs = []
@@ -242,6 +355,6 @@ def cost_volume_cw_pallas(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
         outs.append(_cost_volume_one_batch(
             dvol[b], ref_feat[b], src_feat[b], src_mu[b], src_sigma[b],
             R[b], t[b], is_valid[b], intM[b], rays2d[b], kappa,
-            band, tile_h, interpret))
+            band, tile_h, interpret, pair))
     cost = jnp.stack(outs) / float(V)                 # (B, D, H, W)
     return jnp.moveaxis(cost, 1, -1)

@@ -13,13 +13,13 @@ sys.path.insert(0, "/root/repo")
 def capture(trace_dir="/tmp/jaxtrace"):
     import jax
     import jax.numpy as jnp
-    from bench import example_inputs
+    from bench import example_inputs, example_variables
     from magnet_tpu.core.dtypes import cast_floating
     from magnet_tpu.models.magnet import Magnet
 
     model = Magnet(n_iters=3)
     inputs = example_inputs()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+    variables = example_variables(model, inputs)
 
     @jax.jit
     def run(variables, ref_img, *rest):

@@ -45,20 +45,24 @@ def _inputs(B=2, V=3, H=24, W=32, C=8, D=5, seed=0, motion=0.03):
                  (dvol, ref, src, mu, sig, R, t, valid, intM, rays))
 
 
-def test_pallas_cv_matches_xla_f32():
+@pytest.mark.parametrize("pair", [False, True])
+def test_pallas_cv_matches_xla_f32(pair):
     args = _inputs()
     xla = np.asarray(cost_volume_cw(*args, 5.0))
-    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True))
+    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True,
+                                           pair=pair))
     np.testing.assert_allclose(pal, xla, atol=2e-6)
     assert np.abs(xla).max() > 0.1          # non-degenerate
 
 
-def test_pallas_cv_matches_xla_bf16():
+@pytest.mark.parametrize("pair", [False, True])
+def test_pallas_cv_matches_xla_bf16(pair):
     args = _inputs(seed=1)
     args = (args[0], args[1].astype(jnp.bfloat16),
             args[2].astype(jnp.bfloat16)) + args[3:]
     xla = np.asarray(cost_volume_cw(*args, 5.0))
-    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True))
+    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True,
+                                           pair=pair))
     # Both paths round features to bf16; the pallas path additionally
     # rounds the bilinear weights (<= 2^-9 relative). Pixels sitting
     # exactly on the consistency threshold |z - mu| = kappa*sigma can
