@@ -15,9 +15,19 @@ kernel streams row bands and keeps the whole stage in one pass:
   * conv_a = per-(dy, dx) dots of the upsampled slab (K=512) and the
     lane-padded skip slab (K=128) into one f32 accumulator; folded BN
     (conv bias absorbed) + LeakyReLU,
-  * conv_b = per-(dy, dx) dots over the VMEM-resident mid rows; the mid
-    halo rows at the true image edge are zeroed so conv_b sees the same
-    zero padding as XLA.
+  * conv_b = per-(dy, dx) dots over the VMEM-resident mid rows.
+
+RING-BUFFERED streaming (v2): the input windows (vertical-interp rows,
+upsampled rows, skip rows) and the conv_a output ("mid") window persist
+in scratch across grid steps — TPU grids run sequentially — so each step
+DMAs only tile_h new input rows, interpolates only tile_h new rows, and
+computes every mid row exactly ONCE (the first kernel recomputed a
+2-row conv_a halo per tile: 33% waste at the VMEM-forced 6-row tile).
+The 2-row overlap between consecutive windows is carried by shifting
+the buffer tails into the heads at the start of each step; the t == 0
+step seeds the window (2-row head DMA + one extra mid row) and the last
+step re-shifts the bottom-clamped DMA and zeroes the out-of-image rows
+so both convs see XLA's zero padding.
 
 Only engaged where the working set fits VMEM (ScanNet-shaped up3;
 KITTI's 304-wide maps fall back to XLA). Training and non-TPU backends
@@ -41,24 +51,25 @@ _SLOPE = 0.01       # torch nn.LeakyReLU() default
 
 
 def use_pallas_upstage() -> bool:
-    """Opt-in (MAGNET_TPU_PALLAS_UP=1). MEASURED SLOWER end-to-end on
-    v5e (28.0 vs 28.4 fps, 2026-08-17): the scoped-VMEM stack forces a
-    6-row tile, whose 33% conv_a halo recompute hands back more than the
-    fusion wins over XLA's 50-58%-MFU convs. Larger tiles OOM the
-    16 MB scoped-VMEM stack (tile 10 hit 17.4 MB). Kept as a documented
-    experiment; golden tests pin its semantics."""
+    """MAGNET_TPU_PALLAS_UP=0 forces the XLA path. The v2 ring kernel
+    measured NEUTRAL end-to-end on v5e (31.50 vs 31.45 fps): the kernel
+    itself runs up3 at ~82% MXU (2.15 ms vs XLA's 3.26), but the up2
+    producer fusions upstream lose the difference to the relayout the
+    custom-call boundary forces ({3,0,2,1}-preferring conv fusions ->
+    row-major operand). Kept on: the interior is the right place to grow
+    (fusing the heads amortizes the boundary), and it lifts KITTI too."""
     import os
-    return os.environ.get("MAGNET_TPU_PALLAS_UP", "") == "1"
+    return os.environ.get("MAGNET_TPU_PALLAS_UP", "1") == "1"
 
 
 def _vmem_bytes(th: int, Ws: int, W: int, Cx: int, cm: int,
                 itemsize: int) -> int:
-    return ((th + 4) * Ws * Cx * itemsize      # vert slab
-            + (th + 4) * W * Cx * itemsize     # upsampled slab
-            + (th + 4) * W * 128 * itemsize    # skip slab
-            + (th + 2) * W * cm * itemsize     # mid
-            + (th + 2) * W * cm * 4            # f32 acc
-            + th * W * cm * (4 + itemsize)     # acc2 + out block
+    return ((th + 2) * Ws * Cx * itemsize      # vert ring
+            + (th + 2) * W * Cx * itemsize     # upsampled ring
+            + (th + 2) * W * 128 * itemsize    # skip ring
+            + (th + 2) * W * cm * itemsize     # mid ring
+            + th * W * cm * 8                  # f32 acc + acc2
+            + th * W * cm * 2 * itemsize       # double-buffered out
             + 9 * (Cx + 128 + cm) * cm * itemsize)  # weights
 
 
@@ -66,13 +77,14 @@ def _tile(H: int, Ws: int = 80, W: int = 160, Cx: int = 512,
           cm: int = 256, itemsize: int = 2):
     """Largest row tile whose working set fits the VMEM budget."""
     # Budget calibrated against real v5e compiles: the scoped-VMEM stack
-    # runs ~6-7 MB above this static estimate (double-buffered out
-    # blocks, per-op transients), so the estimate must stay well under
-    # the 16 MB limit. tile 10 at ScanNet (est 13.5 MB) OOMed at 17.4.
-    for t in (12, 10, 8, 6, 4):
-        if H % t == 0 and H // t >= 2 \
+    # runs a few MB above this static estimate (per-op transients), so
+    # the estimate must stay under the 16 MB limit with margin. The v1
+    # kernel's tile-10 static 13.5 MB allocated 17.4 and OOMed; the v2
+    # ring kernel's tile-8 static 11.8 MB compiles and runs.
+    for t in (8, 6, 4):
+        if H % t == 0 and t >= 4 \
                 and _vmem_bytes(t, Ws, W, Cx, cm,
-                                itemsize) <= 10 * 1024 * 1024 + 512 * 1024:
+                                itemsize) <= 12 * 1024 * 1024:
             return t
     return None
 
@@ -99,80 +111,122 @@ def _kernel(vert_hbm, skip_hbm, wu_ref, wau_ref, was_ref, wb_ref, s_ref,
     f = pl.program_id(0)
     t = pl.program_id(1)
     f32 = jnp.float32
-    n_tiles = H // tile_h
+    th = tile_h
+    n_tiles = H // th
     W = up_buf.shape[1]
+    cx = up_buf.shape[-1]
     cm = wb_ref.shape[-1]
-    r0 = t * tile_h
+    r0 = t * th
 
-    # DMA tile+4 rows [r0-2, r0+tile+2) of both sources, start clamped
-    # in-frame; edge tiles re-shift so out-of-frame rows are zero.
-    start = jnp.clip(r0 - 2, 0, H - (tile_h + 4))
+    # ---- ring shift: rows [r0, r0+2) of every window are the previous
+    # step's tail (buffer row j holds absolute row r0 + j; mid row j
+    # holds absolute mid row r0 - 1 + j).
+    @pl.when(t > 0)
+    def _shift():
+        for buf in (vert_s, up_buf, skip_s, mid_s):
+            buf[0:2] = buf[th:th + 2]
+
+    # ---- DMA the th NEW input rows [r0+2, r0+th+2), bottom-clamped.
+    # (A transposed (H, Ws, N, Cx) operand matching the XLA producer's
+    # preferred physical layout was tried to kill the boundary relayout:
+    # Mosaic cannot slice the sublane (N) dim at a dynamic index.)
+    start = jnp.minimum(r0 + 2, H - th)
     copies = []
-    for i, (hbm, buf) in enumerate(((vert_hbm, vert_s),
-                                    (skip_hbm, skip_s))):
-        c = pltpu.make_async_copy(
-            hbm.at[f, pl.ds(start, tile_h + 4)], buf, sems.at[i])
+    for i, (src, buf) in enumerate(
+            ((vert_hbm.at[f, pl.ds(start, th)], vert_s),
+             (skip_hbm.at[f, pl.ds(start, th)], skip_s))):
+        c = pltpu.make_async_copy(src, buf.at[pl.ds(2, th)], sems.at[i])
         c.start()
         copies.append(c)
+
+    @pl.when(t == 0)
+    def _seed_head():
+        # no previous tail to carry: rows [0, 2) come from HBM.
+        for i, (src, buf) in enumerate(
+                ((vert_hbm.at[f, pl.ds(0, 2)], vert_s),
+                 (skip_hbm.at[f, pl.ds(0, 2)], skip_s))):
+            c = pltpu.make_async_copy(src, buf.at[pl.ds(0, 2)],
+                                      sems.at[2 + i])
+            c.start()
+            c.wait()
+
     for c in copies:
         c.wait()
 
-    @pl.when(t == 0)
-    def _top():
-        for buf in (vert_s, skip_s):
-            z = jnp.zeros_like(buf[:2])
-            buf[...] = jnp.concatenate([z, buf[:-2]], axis=0)
-
     @pl.when(t == n_tiles - 1)
     def _bottom():
+        # the clamped DMA loaded absolute [H-th, H) into [2, th+2); the
+        # window wants [r0+2, H) there plus 2 zero out-of-image rows.
         for buf in (vert_s, skip_s):
-            z = jnp.zeros_like(buf[:2])
-            buf[...] = jnp.concatenate([buf[2:], z], axis=0)
+            vals = buf[2:th + 2]
+            buf[2:th + 2] = jnp.concatenate(
+                [vals[2:], jnp.zeros_like(vals[:2])], axis=0)
 
-    # Horizontal bilinear on the MXU, one band row at a time.
+    # ---- horizontal bilinear on the MXU for the new rows only.
     wu = wu_ref[...]
-    for k in range(tile_h + 4):
+
+    def interp(k):
         up_buf[k] = jax.lax.dot_general(
             wu, vert_s[k], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32).astype(up_buf.dtype)
+
+    for k in range(2, th + 2):
+        interp(k)
+
+    @pl.when(t == 0)
+    def _seed_interp():
+        for k in range(2):
+            interp(k)
 
     def dot(a, w):
         return jax.lax.dot_general(
             a, w, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=f32)
 
-    # conv_a over mid rows [r0-1, r0+tile+1). The W-shifts run on
-    # 128-lane sub-slabs (aligned lane slices of the loaded slab): a
-    # shifted copy of the full 512-channel slab is a ~2 MB transient and
-    # several of them live at once — that blew the scoped-VMEM stack.
-    cx = up_buf.shape[-1]
-    acc = jnp.zeros((tile_h + 2, W, cm), f32)
-    for dy in range(3):
-        up_slab = up_buf[pl.ds(dy, tile_h + 2)]
-        sk_slab = skip_s[pl.ds(dy, tile_h + 2)]
-        for dx in range(3):
-            d = dx - 1
-            for c4 in range(cx // 128):
-                sub = up_slab[:, :, c4 * 128:(c4 + 1) * 128]
-                acc = acc + dot(_shift_w(sub, d),
-                                wau_ref[dy, dx, c4 * 128:(c4 + 1) * 128])
-            acc = acc + dot(_shift_w(sk_slab, d), was_ref[dy, dx])
-    mid = _leaky(acc * s_ref[0][None, None, :] + t_ref[0][None, None, :])
-    mid_s[...] = mid.astype(mid_s.dtype)
+    def conv_a(up_rows, skip_rows, zero_top: int):
+        """conv_a over aligned slabs; zero_top marks how many leading dy
+        taps fall above the image (t == 0 seed row only)."""
+        n = up_rows[-1].shape[0]
+        acc = jnp.zeros((n, W, cm), f32)
+        for dy in range(3):
+            if dy < zero_top:
+                continue
+            up_slab = up_rows[dy]
+            sk_slab = skip_rows[dy]
+            for dx in range(3):
+                d = dx - 1
+                for c4 in range(cx // 128):
+                    sub = up_slab[:, :, c4 * 128:(c4 + 1) * 128]
+                    acc = acc + dot(_shift_w(sub, d),
+                                    wau_ref[dy, dx,
+                                            c4 * 128:(c4 + 1) * 128])
+                acc = acc + dot(_shift_w(sk_slab, d), was_ref[dy, dx])
+        return _leaky(acc * s_ref[0][None, None, :]
+                      + t_ref[0][None, None, :])
 
-    # conv_b's zero padding at the true image edge: the computed mid
-    # halo rows there must read as zeros.
+    # ---- conv_a: th new mid rows [r0+1, r0+th+1) — each computed ONCE.
+    mid_new = conv_a([up_buf[dy:dy + th] for dy in range(3)],
+                     [skip_s[dy:dy + th] for dy in range(3)], 0)
+    mid_s[2:th + 2] = mid_new.astype(mid_s.dtype)
+
     @pl.when(t == 0)
-    def _mid_top():
-        mid_s[:1] = jnp.zeros_like(mid_s[:1])
+    def _seed_mid():
+        # mid row 0 (inputs: zero row above the image, rows 0 and 1) and
+        # the zero mid row standing in for conv_b's top padding.
+        row0 = conv_a([None, up_buf[0:1], up_buf[1:2]],
+                      [None, skip_s[0:1], skip_s[1:2]], 1)
+        mid_s[1:2] = row0.astype(mid_s.dtype)
+        mid_s[0:1] = jnp.zeros_like(mid_s[0:1])
 
     @pl.when(t == n_tiles - 1)
     def _mid_bottom():
-        mid_s[tile_h + 1:] = jnp.zeros_like(mid_s[tile_h + 1:])
+        # absolute mid row H is below the image: conv_b zero padding.
+        mid_s[th + 1:th + 2] = jnp.zeros_like(mid_s[th + 1:th + 2])
 
-    acc2 = jnp.zeros((tile_h, W, cm), f32)
+    # ---- conv_b over the full mid window -> output rows [r0, r0+th).
+    acc2 = jnp.zeros((th, W, cm), f32)
     for dy in range(3):
-        slab = mid_s[pl.ds(dy, tile_h)]
+        slab = mid_s[dy:dy + th]
         for dx in range(3):
             for c2 in range(cm // 128):
                 sub = slab[:, :, c2 * 128:(c2 + 1) * 128]
@@ -204,7 +258,7 @@ def upstage_fused(x: jnp.ndarray, skip: jnp.ndarray, wa_up, ba_up, wa_sk,
     i0 = np.minimum(np.floor(v).astype(np.int32), Hs - 2)
     fr = jnp.asarray((v - i0).astype(np.float32), dtype=dt)
     vert = (x[:, i0] * (1.0 - fr)[None, :, None, None]
-            + x[:, i0 + 1] * fr[None, :, None, None])
+            + x[:, i0 + 1] * fr[None, :, None, None])  # (N, H, Ws, Cx)
 
     skip_p = jnp.concatenate(
         [skip.astype(dt),
@@ -220,7 +274,7 @@ def upstage_fused(x: jnp.ndarray, skip: jnp.ndarray, wa_up, ba_up, wa_sk,
     tt = jnp.stack([ta_eff, tb_eff]).astype(jnp.float32)
 
     kernel = functools.partial(_kernel, H=H, tile_h=th)
-    return pl.pallas_call(
+    out_t = pl.pallas_call(
         kernel,
         grid=(N, H // th),
         in_specs=[
@@ -236,15 +290,16 @@ def upstage_fused(x: jnp.ndarray, skip: jnp.ndarray, wa_up, ba_up, wa_sk,
         out_specs=pl.BlockSpec((1, th, W, Cm), lambda f, t: (f, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, H, W, Cm), dt),
         scratch_shapes=[
-            pltpu.VMEM((th + 4, Ws, Cx), dt),
-            pltpu.VMEM((th + 4, W, Cx), dt),
-            pltpu.VMEM((th + 4, W, 128), dt),
+            pltpu.VMEM((th + 2, Ws, Cx), dt),
+            pltpu.VMEM((th + 2, W, Cx), dt),
+            pltpu.VMEM((th + 2, W, 128), dt),
             pltpu.VMEM((th + 2, W, Cm), dt),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(vert, skip_p, wu, wa_up.astype(dt), was_p.astype(dt),
       wb.astype(dt), s, tt)
+    return out_t
 
 
 def supported(x_shape, skip_shape, itemsize: int = 2) -> bool:
