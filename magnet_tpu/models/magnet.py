@@ -59,7 +59,17 @@ class MagnetMaskHead(nn.Module):
     hidden: int = 128
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        from magnet_tpu.kernels import headchain_pallas as hc
+        if (not train and not self.is_initializing()
+                and hc.use_pallas_heads() and hc.supported(x.shape)):
+            import jax as _jax
+            p = self.variables["params"]
+            convs = [(p[n]["conv"]["kernel"], p[n]["conv"]["bias"], r)
+                     for n, r in (("conv0", True), ("conv1", True),
+                                  ("conv2", True), ("conv3", False))]
+            return hc.head_chain_pallas(
+                x, convs, interpret=_jax.default_backend() != "tpu")
         y = relu(Conv(self.hidden, 3, padding=1, name="conv0")(x))
         y = relu(Conv(self.hidden, 1, name="conv1")(y))
         y = relu(Conv(self.hidden, 1, name="conv2")(y))
@@ -131,7 +141,7 @@ class Magnet(nn.Module):
         g_net = GNet(name="g_net")                         # shared weights
         # Hoist the iteration-invariant feature branch of G-Net's first
         # layer out of the loop (the decoder feature never changes).
-        feat_contrib = g_net.precompute_feature(x_d3)
+        feat_contrib = g_net.precompute_feature(x_d3, train)
         pred_list = [ref_gauss]
         for _ in range(n_iters):
             prev = jax.lax.stop_gradient(pred_list[-1])
@@ -149,7 +159,7 @@ class Magnet(nn.Module):
 
         # ---- Shared learned upsampling
         k = self.downsample_ratio
-        mask = MagnetMaskHead(9 * k * k, name="mask_head")(x_d3)
+        mask = MagnetMaskHead(9 * k * k, name="mask_head")(x_d3, train)
         return [upsample_via_mask(p, mask, k) for p in pred_list[1:]]
 
 

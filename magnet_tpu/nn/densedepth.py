@@ -96,7 +96,17 @@ class _Head(nn.Module):
     hidden: int = 128
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        from magnet_tpu.kernels import headchain_pallas as hc
+        if (not train and not self.is_initializing()
+                and hc.use_pallas_heads() and hc.supported(x.shape)):
+            import jax as _jax
+            p = self.variables["params"]
+            convs = [(p[n]["conv"]["kernel"], p[n]["conv"]["bias"], r)
+                     for n, r in (("conv0", True), ("conv1", True),
+                                  ("conv2", False))]
+            return hc.head_chain_pallas(
+                x, convs, interpret=_jax.default_backend() != "tpu")
         y = relu(Conv(self.hidden, 3, padding=1, name="conv0")(x))
         y = relu(Conv(self.hidden, 1, name="conv1")(y))
         return Conv(self.out_ch, 1, name="conv2")(y)
@@ -131,13 +141,13 @@ class DenseDepth(nn.Module):
         for i, skip in enumerate(skips):
             y = Up(feats >> (i + 1), name=f"up{i + 1}")(y, skip, train)
 
-        depth = _Head(self.num_classes, name="depth_head")(y)
+        depth = _Head(self.num_classes, name="depth_head")(y, train)
 
         if not self.as_dnet:
             return depth, y
 
         if self.learned_upsampling:
             k = self.downsample_ratio
-            mask = _Head(9 * k * k, name="mask_head")(y)
+            mask = _Head(9 * k * k, name="mask_head")(y, train)
             return upsample_via_mask(depth, mask, k)
         return upsample_bilinear(depth, None, self.downsample_ratio)

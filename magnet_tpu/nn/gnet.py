@@ -46,9 +46,17 @@ class GNet(nn.Module):
         self.conv2 = Conv(self.hidden, 1, name="conv2")
         self.conv3 = Conv(self.out_ch, 1, name="conv3")
 
-    def precompute_feature(self, feat: jnp.ndarray) -> jnp.ndarray:
+    def precompute_feature(self, feat: jnp.ndarray,
+                           train: bool = False) -> jnp.ndarray:
         """Iteration-invariant contribution of the decoder feature to the
         first layer (compute once, reuse every refinement iteration)."""
+        from magnet_tpu.kernels import headchain_pallas as hc
+        if (not train and not self.is_initializing()
+                and hc.use_pallas_heads() and hc.supported(feat.shape)):
+            p = self.variables["params"]["conv0_feat"]["conv"]
+            return hc.head_chain_pallas(
+                feat, [(p["kernel"], p["bias"], False)],
+                interpret=jax.default_backend() != "tpu")
         return self.conv0_feat(feat)
 
     def __call__(self, cost_volume: jnp.ndarray, feat_contrib: jnp.ndarray,
