@@ -239,9 +239,16 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
     x, y, z = jax.vmap(proj)(R, t)                    # each (V, D, H, W)
 
     import math
-    c_rows = 128 // math.gcd(W, 128)
-    while band % c_rows:
-        c_rows *= 2                                   # band is a pow2 mult
+    if pair:
+        # Fixed 4-row slabs: pair weight transients stay ~(2, W, 4W) at
+        # any width (c_rows tied to gcd(W, 128) made W=304 build 5.9 MB
+        # tensors); a chunk length that is not a 128-multiple just pads
+        # the final MXU pass.
+        c_rows = 4
+    else:
+        c_rows = 128 // math.gcd(W, 128)
+        while band % c_rows:
+            c_rows *= 2                               # band is a pow2 mult
     band = max(band, 2 * c_rows)                      # room for 2 pair slabs
 
     n_tiles = H // tile_h

@@ -143,10 +143,10 @@ def gnet_update_pallas(cv: jnp.ndarray, feat_contrib: jnp.ndarray,
     return jnp.concatenate(outs, axis=0)
 
 
-def supported(cv_shape, hidden: int) -> bool:
+def supported(cv_shape, hidden: int, itemsize: int = 2) -> bool:
     B, H, W, D = cv_shape
     if _tile_h(H) is None or D > 16 or hidden != 128:
         return False
-    vmem = ((H + 2) * (W + 2) * 128 * 2      # padded cv
-            + 12 * 128 * 128 * 2)            # weights
+    vmem = ((H + 2) * (W + 2) * 128 * itemsize      # padded cv
+            + 12 * 128 * 128 * itemsize)            # weights
     return vmem <= 10 * 1024 * 1024

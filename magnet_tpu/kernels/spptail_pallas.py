@@ -162,7 +162,7 @@ def spp_tail_fused(raw: jnp.ndarray, skip: jnp.ndarray, br: jnp.ndarray,
       w1.astype(dt))
 
 
-def supported(x_shape, feature_dim: int) -> bool:
+def supported(x_shape, feature_dim: int, itemsize: int = 2) -> bool:
     """x_shape: layer4 output (N, H, W, 128)."""
     N, H, W, C = x_shape
     if C != 128 or feature_dim > 128 or _tile_h(H) is None:
@@ -172,7 +172,6 @@ def supported(x_shape, feature_dim: int) -> bool:
         # the top/bottom edge re-shifts assume distinct first/last tiles
         return False
     # three halo slabs + weights + f32 acc + shifted-slab transients
-    itemsize = 2
     slabs = (th + 2) * W * (64 + 128 + 128) * itemsize
     acc = th * W * 128 * 4
     trans = 3 * th * W * 128 * itemsize

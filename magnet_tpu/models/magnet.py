@@ -83,6 +83,18 @@ def parse_weighting(weighting: str) -> float:
     return float(weighting[2:])
 
 
+def _frozen(cls):
+    """Freeze a backbone at param-read: every variable passes through
+    `stop_gradient` before use, so under `value_and_grad` the whole
+    submodule is a differentiation constant — no JVP trace through its ops
+    (the inference Pallas kernels have no JVP rule) and no backward
+    compute, matching the reference's `torch.no_grad()` wrapping
+    (MAGNET.py:133-144). Output-level stop_gradients are kept as
+    documentation but are redundant after this."""
+    return nn.map_variables(cls, True, trans_in_fn=jax.lax.stop_gradient,
+                            init=True)
+
+
 class Magnet(nn.Module):
     """Full pipeline. Inputs NHWC; poses/intrinsics as in ops.costvolume."""
     output_dim: int = 2
@@ -117,7 +129,7 @@ class Magnet(nn.Module):
         all_imgs = jnp.concatenate(
             [ref_img, src_imgs.reshape(B * V, H, W, 3)], axis=0)
 
-        mono, feat_d = DNetCoarse(
+        mono, feat_d = _frozen(DNetCoarse)(
             output_dim=self.output_dim,
             downsample_ratio=self.downsample_ratio,
             use_bn=self.use_bn, name="d_net")(all_imgs, train=False)
@@ -127,8 +139,8 @@ class Magnet(nn.Module):
         src_gauss = mono[B:].reshape(B, V, *mono.shape[1:])
         x_d3 = feat_d[:B]                                  # (B, h, w, 256)
 
-        feat_m = FNet(feature_dim=self.fnet_feature_dim,
-                      name="f_net")(all_imgs, train=False)
+        feat_m = _frozen(FNet)(feature_dim=self.fnet_feature_dim,
+                               name="f_net")(all_imgs, train=False)
         feat_m = jax.lax.stop_gradient(feat_m)
         ref_feat = feat_m[:B]
         src_feat = feat_m[B:].reshape(B, V, *feat_m.shape[1:])

@@ -44,7 +44,8 @@ class UpSampleBN(nn.Module):
         if (not train and not self.is_initializing()
                 and self.features == 256
                 and ups.use_pallas_upstage()
-                and ups.supported(x.shape, skip.shape)):
+                and ups.supported(x.shape, skip.shape,
+                                  x.dtype.itemsize)):
             import jax as _jax
             from magnet_tpu.kernels.psmstage_pallas import fold_bn
             p = self.variables["params"]
@@ -63,6 +64,31 @@ class UpSampleBN(nn.Module):
                 p["conv_b"]["conv"]["kernel"],
                 p["conv_b"]["conv"]["bias"], sb, tb,
                 interpret=_jax.default_backend() != "tpu")
+        if (not train and not self.is_initializing()
+                and self.features == 512):
+            from magnet_tpu.kernels import convstream_pallas as cs
+            if cs.use_convstream() and cs.up2_supported(
+                    x.shape, skip.shape, x.dtype.itemsize):
+                import jax as _jax
+                from magnet_tpu.kernels.psmstage_pallas import fold_bn
+                p = self.variables["params"]
+                st = self.variables["batch_stats"]
+                sa, ta = fold_bn(
+                    p["bn_a"]["bn"]["scale"], p["bn_a"]["bn"]["bias"],
+                    st["bn_a"]["bn"]["mean"], st["bn_a"]["bn"]["var"])
+                sb, tb = fold_bn(
+                    p["bn_b"]["bn"]["scale"], p["bn_b"]["bn"]["bias"],
+                    st["bn_b"]["bn"]["mean"], st["bn_b"]["bn"]["var"])
+                up = resize_bilinear_align_corners(
+                    x, skip.shape[-3], skip.shape[-2])
+                return cs.up2_fused(
+                    up, skip,
+                    p["conv_a_up"]["conv"]["kernel"],
+                    p["conv_a_up"]["conv"]["bias"],
+                    p["conv_a_skip"]["conv"]["kernel"], sa, ta,
+                    p["conv_b"]["conv"]["kernel"],
+                    p["conv_b"]["conv"]["bias"], sb, tb,
+                    interpret=_jax.default_backend() != "tpu")
         up = resize_bilinear_align_corners(x, skip.shape[-3], skip.shape[-2])
         y = Conv(self.features, 3, padding=1, name="conv_a_up")(up) + \
             Conv(self.features, 3, padding=1, use_bias=False,

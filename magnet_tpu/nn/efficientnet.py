@@ -147,6 +147,15 @@ class InvertedResidual(nn.Module):
         return y
 
 
+def _stage_chain_shapes(y_shape, stage):
+    """(H, W, C, M) of a stage's uniform stride-1 tail, after block 0."""
+    s = stage[0]["stride"]
+    H = -(-y_shape[1] // s)
+    W = -(-y_shape[2] // s)
+    C = stage[1]["in_ch"]
+    return H, W, C, C * stage[1]["expand"]
+
+
 class EfficientNetB5Features(nn.Module):
     """Returns the 5 decoder taps (f4, f5, f6, f8, f11); see module doc.
 
@@ -169,10 +178,23 @@ class EfficientNetB5Features(nn.Module):
         y = BatchNorm(eps=BN_EPS_TF, name="bn1")(y, train)
         y = swish(y)
 
+        from magnet_tpu.kernels import mbchain_pallas as mb
+
         taps = {}
         block_idx = 0
         for si, stage in enumerate(stages):
-            for bi, cfg in enumerate(stage):
+            # A stage's stride-1 tail (blocks 1..n-1: uniform channels,
+            # kernel, expansion, always-residual) can run as one fused
+            # Pallas chain per frame at eval time.
+            chain = []
+            if (not train and not self.is_initializing()
+                    and mb.use_mbchain(si) and len(stage) > 1
+                    and stage[1]["btype"] == "ir"):
+                H0, W0, C, M = _stage_chain_shapes(y.shape, stage)
+                if mb.supported(H0, W0, C, M, len(stage) - 1,
+                                y.dtype.itemsize):
+                    chain = stage[1:]
+            for bi, cfg in enumerate(stage[:len(stage) - len(chain)]):
                 dp = self.drop_connect_rate * block_idx / n_blocks
                 cls = DepthwiseSeparable if cfg["btype"] == "ds" \
                     else InvertedResidual
@@ -180,6 +202,9 @@ class EfficientNetB5Features(nn.Module):
                     cls = nn.remat(cls, static_argnums=(2,))
                 y = cls(cfg, dp, name=f"blocks_{si}_{bi}")(y, train)
                 block_idx += 1
+            if chain:
+                y = self._fused_chain(y, si, chain)
+                block_idx += len(chain)
             taps[si] = y
 
         head = Conv(2048, 1, use_bias=False, name="conv_head")(y)
@@ -189,3 +214,47 @@ class EfficientNetB5Features(nn.Module):
         # completeness.
         _ = BatchNorm(eps=BN_EPS_TF, name="bn2")(head, train)
         return [taps[0], taps[1], taps[2], taps[4], head]
+
+    def _fused_chain(self, y, si: int, chain) -> jnp.ndarray:
+        """Run stage si's blocks 1..n-1 as one Pallas MBConv chain, with
+        eval-BN folded into the stacked per-block weights."""
+        import jax
+        from magnet_tpu.kernels.mbchain_pallas import mbchain_fused
+        from magnet_tpu.kernels.psmstage_pallas import fold_bn
+
+        K = chain[0]["kernel"]
+        M = chain[0]["in_ch"] * chain[0]["expand"]
+        packs = {k: [] for k in ("wpw", "s1", "wdw", "s2", "wse1", "bse1",
+                                 "wse2", "bse2", "wpwl", "s3")}
+        for j in range(len(chain)):
+            name = f"blocks_{si}_{j + 1}"
+            p = self.variables["params"][name]
+            st = self.variables["batch_stats"][name]
+
+            def bn(tag):
+                return fold_bn(p[tag]["bn"]["scale"], p[tag]["bn"]["bias"],
+                               st[tag]["bn"]["mean"], st[tag]["bn"]["var"],
+                               BN_EPS_TF)
+            sc1, t1 = bn("bn1")
+            sc2, t2 = bn("bn2")
+            sc3, t3 = bn("bn3")
+            packs["wpw"].append(
+                p["conv_pw"]["conv"]["kernel"][0, 0] * sc1[None, :])
+            packs["s1"].append(t1)
+            packs["wdw"].append(
+                p["conv_dw"]["conv"]["kernel"].reshape(K * K, M)
+                * sc2[None, :])
+            packs["s2"].append(t2)
+            packs["wse1"].append(p["se"]["conv_reduce"]["conv"]["kernel"][0, 0])
+            packs["bse1"].append(p["se"]["conv_reduce"]["conv"]["bias"])
+            packs["wse2"].append(p["se"]["conv_expand"]["conv"]["kernel"][0, 0])
+            packs["bse2"].append(p["se"]["conv_expand"]["conv"]["bias"])
+            packs["wpwl"].append(
+                p["conv_pwl"]["conv"]["kernel"][0, 0] * sc3[None, :])
+            packs["s3"].append(t3)
+        stacked = {k: jnp.stack(v) for k, v in packs.items()}
+        return mbchain_fused(
+            y, stacked["wpw"], stacked["s1"], stacked["wdw"], stacked["s2"],
+            stacked["wse1"], stacked["bse1"], stacked["wse2"],
+            stacked["bse2"], stacked["wpwl"], stacked["s3"], K,
+            interpret=jax.default_backend() != "tpu")

@@ -74,7 +74,8 @@ class GNet(nn.Module):
         if (not train and not self.is_initializing()
                 and _use_pallas_gnet()):
             from magnet_tpu.kernels import gnet_pallas as gp
-            if gp.supported(cost_volume.shape, self.hidden):
+            if gp.supported(cost_volume.shape, self.hidden,
+                            cost_volume.dtype.itemsize):
                 import jax as _jax
                 return gp.gnet_update_pallas(
                     cost_volume, feat_contrib, ref_gaussian,

@@ -208,7 +208,7 @@ class PSMNet(nn.Module):
                 down = bi == 0 and (s != 1 or in_planes != planes)
                 if use_fused and down and s == 2 and planes == 64:
                     from magnet_tpu.kernels import psmtrans_pallas as ptr
-                    if ptr.supported(y.shape):
+                    if ptr.supported(y.shape, y.dtype.itemsize):
                         y = self._fused_downsample(y, li)
                         bi += 1
                         in_planes = planes
@@ -242,7 +242,8 @@ class PSMNet(nn.Module):
         # Concat order: raw, skip, branch4, branch3, branch2, branch1
         # (F_psmnet.py:122).
         from magnet_tpu.kernels import spptail_pallas as spt
-        if use_fused and spt.supported(out_skip.shape, self.feature_dim):
+        if use_fused and spt.supported(out_skip.shape, self.feature_dim,
+                                       out_skip.dtype.itemsize):
             from magnet_tpu.kernels import psmstage_pallas as psp
             import jax as _jax
             p = self.variables["params"]
