@@ -48,12 +48,15 @@ def use_mbchain(stage_idx: int | None = None) -> bool:
     MAGNET_TPU_PALLAS_MB: "0" disables, "1" enables every supported
     stage, a comma list ("3,5") enables only those stage indices.
 
-    Default (TPU, no env): stage 5 only. Measured v5e sweep at the bench
-    shape (baseline 31.9 fps): s5 alone +2.0, s4 +1.0, s3 +0.3, s2 +0.1 —
-    but combinations regress below s5 alone (s4+s5 32.8, all-on 32.5 vs
-    s5-only 33.9); concurrently-live chain scratch appears to push the
-    surrounding XLA fusions over a VMEM cliff, so only the best stage
-    ships on by default.
+    Default: OFF (documented negative result). The controlled v5e A/B at
+    the bench shape — convstream held fixed — measured the best single
+    chain (stage 5) NEUTRAL (33.2 fps off vs 33.4 on, inside the ±0.5
+    run variance) and every multi-stage combination NEGATIVE (all-on
+    32.5). Profile: the chains run at ~10-20% MFU because the depthwise
+    tap accumulate + SE are VPU-scale work in the kernel exactly as they
+    are under XLA, while XLA runs all four stage tails in ~2.6 ms vs the
+    chains' ~4.4 — the launch/format overhead the chain removes is
+    smaller than its own per-step cost at these map sizes.
     """
     import os
     env = os.environ.get("MAGNET_TPU_PALLAS_MB", "")
@@ -63,7 +66,7 @@ def use_mbchain(stage_idx: int | None = None) -> bool:
         return True
     if env:
         return stage_idx is None or str(stage_idx) in env.split(",")
-    return jax.default_backend() == "tpu" and stage_idx in (None, 5)
+    return False
 
 
 def supported(H: int, W: int, C: int, M: int, n_blocks: int,

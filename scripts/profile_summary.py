@@ -38,7 +38,7 @@ def capture(trace_dir="/tmp/jaxtrace"):
     jax.profiler.stop_trace()
 
 
-def summarize(trace_dir="/tmp/jaxtrace", n_frames=4, top=16):
+def summarize(trace_dir="/tmp/jaxtrace", n_frames=4, top=16, module=None):
     path = sorted(glob.glob(
         trace_dir + "/plugins/profile/*/*.trace.json.gz"))[-1]
     with gzip.open(path) as f:
@@ -51,6 +51,7 @@ def summarize(trace_dir="/tmp/jaxtrace", n_frames=4, top=16):
     name_time = collections.Counter()
     details = {}
     mod = collections.Counter()
+    mod_ops = {}
     for e in trace["traceEvents"]:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -66,12 +67,16 @@ def summarize(trace_dir="/tmp/jaxtrace", n_frames=4, top=16):
             details[n] = a.get("long_name", "")[:100]
         src = a.get("source_stack", "")
         key = "other"
-        for tag in ("efficientnet", "psmnet", "densedepth", "gnet",
-                    "costvolume", "resample", "upsample"):
+        # "costvolume" before "gnet": "gnet" substring-matches frames from
+        # models/magnet.py (the cost-volume call site) otherwise.
+        for tag in ("efficientnet", "psmnet", "densedepth", "costvolume",
+                    "nn/gnet", "kernels/gnet", "resample", "upsample"):
             if tag in src:
-                key = tag
+                key = tag.split("/")[-1]
                 break
         mod[key] += e["dur"]
+        if module is not None and module in src:
+            mod_ops.setdefault(n, [0, src])[0] += e["dur"]
     print(f"total: {sum(cat.values()) / 1e3 / n_frames:.1f} ms/frame")
     for c, d in cat.most_common(10):
         print(f"{d / 1e3 / n_frames:8.2f} ms  {c}")
@@ -81,6 +86,13 @@ def summarize(trace_dir="/tmp/jaxtrace", n_frames=4, top=16):
     print("\ntop ops:")
     for n, d in name_time.most_common(top):
         print(f"{d / 1e3 / n_frames:7.2f} ms {n[:26]:26s} {details[n][:80]}")
+    if module is not None:
+        print(f"\nops in '{module}':")
+        for n, (d, src) in sorted(mod_ops.items(), key=lambda kv: -kv[1][0]):
+            if d / 1e3 / n_frames < 0.02:
+                continue
+            print(f"{d / 1e3 / n_frames:7.2f} ms {n[:26]:26s} "
+                  f"{details[n][:60]} | {src[:60]}")
 
 
 if __name__ == "__main__":
