@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark: full MaGNet TRAINING-step throughput on one chip.
+
+Measures samples/sec of the flagship training stage (train_MaGNet
+protocol: frozen D-Net/F-Net forwards + value_and_grad over G-Net and the
+mask head + AdamW update) at the ScanNet training shape, batch 2, bf16
+compute. The timing loop lives inside jit — each fori iteration feeds the
+updated TrainState into the next step, so the chain is serialized on
+device and wall-clock dispatch latency through the TPU tunnel cannot
+pollute the number (same discipline as bench.py).
+
+The frozen backbones are differentiation constants (models/magnet.py
+freezes them at param-read), so the backward pass covers only the
+refinement head — the measured step should sit well under 2x the
+5-frame-per-sample forward cost.
+
+Prints ONE JSON line {metric, value, unit}.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W, V, B = 480, 640, 4, 2
+
+
+def train_batch(batch=B):
+    from bench import example_inputs
+    rng = np.random.RandomState(1)
+    (ref_img, src_imgs, R, t, is_valid, intM, rays2d) = example_inputs(batch)
+    return {
+        "ref_img": ref_img, "src_imgs": src_imgs, "R": R, "t": t,
+        "is_valid": is_valid, "intM": intM, "rays2d": rays2d,
+        "depth": jnp.asarray(
+            rng.uniform(0.5, 8.0, (batch, H, W)).astype(np.float32)),
+    }
+
+
+def _tame_gnet(variables):
+    """Zero G-Net's output conv so the timed regime matches deployment.
+
+    With RANDOM backbones the raw cost volume is huge and the residual
+    update multiplies sigma by ~1e4 per iteration: f32 reaches ~1e32 and
+    bf16 overflows to inf — a regime no trained model ever visits (the
+    reference trains this stage from released D/F checkpoints,
+    train_MaGNet.py). Zeroing conv3 makes every iteration the identity
+    update (mu, sigma stay at the realistic init); gradients still reach
+    every trained parameter, the compute graph is unchanged."""
+    from flax.core import unfreeze
+    v = unfreeze(variables)
+    conv = v["params"]["g_net"]["conv3"]["conv"]
+    conv["kernel"] = jnp.zeros_like(conv["kernel"])
+    conv["bias"] = jnp.zeros_like(conv["bias"])
+    return v
+
+
+def main():
+    from bench import example_variables, example_inputs
+    from magnet_tpu.models.magnet import Magnet
+    from magnet_tpu.train import optim, steps
+
+    model = Magnet(n_iters=3)
+    variables = _tame_gnet(example_variables(model, example_inputs(1)))
+    batch = train_batch()
+
+    tx = optim.make_magnet_optimizer(variables["params"], lr=1e-4,
+                                     total_steps=1000)
+    step_fn = steps.make_magnet_train_step(
+        model, tx, gamma=0.8, max_depth=10.0, min_depth=1e-3, n_iters=3,
+        compute_dtype=jnp.bfloat16)
+
+    def run_n(n):
+        @jax.jit
+        def run(state, batch):
+            def body(_, carry):
+                state, _ = carry
+                state, metrics = step_fn(state, batch)
+                return state, metrics["loss"]
+            return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+        return run
+
+    run1, runN = run_n(1), run_n(4)
+
+    def timed(run):
+        state = steps.TrainState.create(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, tx)
+        out = run(state, batch)
+        float(out[1])                       # compile + warmup consume
+        state = steps.TrainState.create(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, tx)
+        t0 = time.perf_counter()
+        final = run(state, batch)
+        loss = float(final[1])
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss), loss
+        return dt
+
+    t1, tN = timed(run1), timed(runN)
+    per_step = (tN - t1) / 3.0
+    print(json.dumps({
+        "metric": "magnet_scannet_train_step",
+        "value": round(B / per_step, 3),
+        "unit": f"samples/sec/chip (640x480, V=4, 3 iters, batch {B}, "
+                "bf16, frozen-backbone grad)",
+    }))
+
+
+if __name__ == "__main__":
+    main()
