@@ -134,6 +134,30 @@ class PSMNet(nn.Module):
             y, jnp.stack(ws), jnp.stack(ss), jnp.stack(ts), dilation,
             mode, interpret=_jax.default_backend() != "tpu")
 
+    def _stream_block(self, y, li: int, bi: int, dilation: int):
+        """Run one stride-1 BasicBlock as a row-streaming Pallas kernel
+        (kernels/resstream_pallas.py) — the KITTI-shape path where the
+        whole-map chains exceed VMEM. Reads the module's declared
+        parameters (checkpoint-identical tree)."""
+        from magnet_tpu.kernels import psmstage_pallas as psp
+        from magnet_tpu.kernels import resstream_pallas as rst
+        v = self.variables
+        p = v["params"][f"layer{li}_{bi}"]
+        st = v["batch_stats"][f"layer{li}_{bi}"]
+
+        def bn(cb):
+            return psp.fold_bn(
+                p[cb]["bn"]["bn"]["scale"], p[cb]["bn"]["bn"]["bias"],
+                st[cb]["bn"]["bn"]["mean"], st[cb]["bn"]["bn"]["var"])
+
+        s1, t1 = bn("convbn1")
+        s2, t2 = bn("convbn2")
+        import jax as _jax
+        return rst.resblock_stream(
+            y, p["convbn1"]["conv"]["kernel"], s1, t1,
+            p["convbn2"]["conv"]["kernel"], s2, t2, dilation=dilation,
+            interpret=_jax.default_backend() != "tpu")
+
     def _fused_downsample(self, y, li: int):
         """Run the layer2_0 stride-2 downsample block (quad in, pair
         out) as one fused Pallas kernel (kernels/psmtrans_pallas.py)."""
@@ -217,6 +241,17 @@ class PSMNet(nn.Module):
                         and self._chain_ok(y, blocks - bi, dil):
                     y = self._fused_chain(y, li, range(bi, blocks), dil)
                     bi = blocks
+                    in_planes = planes
+                    continue
+                from magnet_tpu.kernels import resstream_pallas as rst
+                if use_fused and not down and s == 1 \
+                        and rst.use_resstream() and rst.supported(
+                            y.shape, dil, y.dtype.itemsize):
+                    # maps too large for the whole-map VMEM chains
+                    # (KITTI shapes) can stream row bands — opt-in,
+                    # measured slower than XLA there (see kernel doc)
+                    y = self._stream_block(y, li, bi, dil)
+                    bi += 1
                 else:
                     y = Block(planes, s, dil, down,
                               name=f"layer{li}_{bi}")(y, train)
