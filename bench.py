@@ -93,6 +93,16 @@ def example_variables(model, inputs):
 def main(compute_dtype=jnp.bfloat16):
     from magnet_tpu.core.dtypes import cast_floating
 
+    # Persistent compilation cache: repeated bench runs in one container
+    # skip the ~10-15 min cold compile through the TPU tunnel.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/magnet_tpu_jaxcache"))
+    except Exception:
+        pass
+
     model = Magnet(n_iters=3)
     inputs = example_inputs()
     variables = example_variables(model, inputs)

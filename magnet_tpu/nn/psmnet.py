@@ -184,6 +184,33 @@ class PSMNet(nn.Module):
             p["down_conv"]["kernel"], sp_, tp_,
             interpret=_jax.default_backend() != "tpu")
 
+    def _fused_expand(self, y, li: int):
+        """Run the layer3_0 stride-1 channel-expansion block (pair in,
+        natural out) as one fused Pallas kernel
+        (kernels/psmtrans2_pallas.py)."""
+        from magnet_tpu.kernels import psmstage_pallas as psp
+        from magnet_tpu.kernels import psmtrans2_pallas as pt2
+        v = self.variables
+        p = v["params"][f"layer{li}_0"]
+        st = v["batch_stats"][f"layer{li}_0"]
+
+        def bn(cb):
+            return psp.fold_bn(
+                p[cb]["bn"]["bn"]["scale"], p[cb]["bn"]["bn"]["bias"],
+                st[cb]["bn"]["bn"]["mean"], st[cb]["bn"]["bn"]["var"])
+
+        s1, t1 = bn("convbn1")
+        s2, t2 = bn("convbn2")
+        sp_, tp_ = psp.fold_bn(
+            p["down_bn"]["bn"]["scale"], p["down_bn"]["bn"]["bias"],
+            st["down_bn"]["bn"]["mean"], st["down_bn"]["bn"]["var"])
+        import jax as _jax
+        return pt2.expand_block(
+            y, p["convbn1"]["conv"]["kernel"], s1, t1,
+            p["convbn2"]["conv"]["kernel"], s2, t2,
+            p["down_conv"]["kernel"], sp_, tp_,
+            interpret=_jax.default_backend() != "tpu")
+
     def _fused_stem(self, y):
         """Run firstconv1 + firstconv2 (conv-BN-ReLU each,
         F_psmnet.py:41-43) as one fused quad-packed Pallas chain
@@ -234,6 +261,15 @@ class PSMNet(nn.Module):
                     from magnet_tpu.kernels import psmtrans_pallas as ptr
                     if ptr.supported(y.shape, y.dtype.itemsize):
                         y = self._fused_downsample(y, li)
+                        bi += 1
+                        in_planes = planes
+                        continue
+                if use_fused and down and s == 1 and planes == 128 \
+                        and in_planes == 64:
+                    from magnet_tpu.kernels import psmtrans2_pallas as pt2
+                    if pt2.use_p2n() and pt2.supported(
+                            y.shape, y.dtype.itemsize):
+                        y = self._fused_expand(y, li)
                         bi += 1
                         in_planes = planes
                         continue

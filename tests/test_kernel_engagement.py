@@ -17,6 +17,7 @@ def test_scannet_gate_engagement():
                                     headchain_pallas as hc,
                                     psmstage_pallas as ps,
                                     psmtrans_pallas as pt,
+                                    psmtrans2_pallas as pt2,
                                     spptail_pallas as st,
                                     upstage_pallas as up)
     # decoder (5-frame batched D-Net)
@@ -28,6 +29,7 @@ def test_scannet_gate_engagement():
     assert ps.supported((5, 240, 320, 32), 2, 1, 2)    # stem pair
     assert pt.supported((5, 240, 320, 32))             # layer2_0 s2
     assert ps.supported((5, 120, 160, 64), 15, 1, 2)   # layer2 tail
+    assert pt2.supported((5, 120, 160, 64), 2)         # layer3_0 expand
     assert ps.supported((5, 120, 160, 128), 2, 1, 2)   # layer3 tail
     assert ps.supported((5, 120, 160, 128), 2, 2, 2)   # layer4 (dil 2)
     assert st.supported((5, 120, 160, 128), 64)        # SPP tail
