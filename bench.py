@@ -95,13 +95,8 @@ def main(compute_dtype=jnp.bfloat16):
 
     # Persistent compilation cache: repeated bench runs in one container
     # skip the ~10-15 min cold compile through the TPU tunnel.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           "/tmp/magnet_tpu_jaxcache"))
-    except Exception:
-        pass
+    from magnet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     model = Magnet(n_iters=3)
     inputs = example_inputs()

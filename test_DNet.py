@@ -22,6 +22,8 @@ _TEST_MODES = {"scannet": "long_test", "7scenes": "long_test",
 
 
 def main():
+    from magnet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = config.parse_args(config.build_test_dnet_parser())
     args = config.setup_exp_dirs(args, kind="test")
     config.save_args(args, f"{args.exp_log_dir}/params.txt")

@@ -29,6 +29,8 @@ _VAL_MODES = {"scannet": "long_test", "kitti_eigen": "eigen_test",
 
 
 def main():
+    from magnet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = config.parse_args(config.build_train_dnet_parser())
     args = config.setup_exp_dirs(args, kind="train")
     config.save_args(args, f"{args.exp_log_dir}/params.txt")

@@ -41,6 +41,8 @@ def _batch_to_device(mesh, batch, dpv_hw):
 
 
 def main():
+    from magnet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = config.parse_args(config.build_train_fnet_parser())
     args = config.setup_exp_dirs(args, kind="train")
     config.save_args(args, f"{args.exp_log_dir}/params.txt")

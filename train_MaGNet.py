@@ -34,6 +34,8 @@ def _device_batch(mesh, batch):
 
 
 def main():
+    from magnet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = config.parse_args(config.build_train_magnet_parser())
     args = config.setup_exp_dirs(args, kind="train")
     config.save_args(args, f"{args.exp_log_dir}/params.txt")
