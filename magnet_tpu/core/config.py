@@ -174,6 +174,13 @@ def _add_tpu_flags(p):
     p.add_argument("--profile_dir", type=str, default="",
                    help="if set, capture a device trace of a few training "
                         "steps into this directory (view with xprof)")
+    p.add_argument("--cache_features", default=False, action="store_true",
+                   help="streaming eval: cache per-frame D/F trunk "
+                        "encodings across overlapping windows (identical "
+                        "predictions, ~1 trunk pass per distinct frame; "
+                        "eval-only — see eval/streaming.py)")
+    p.add_argument("--cache_max_frames", type=int, default=48,
+                   help="LRU capacity of the streaming feature cache")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--data_format", type=str, default="auto",

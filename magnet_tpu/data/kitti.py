@@ -201,7 +201,8 @@ class KittiMultiView:
 
         intM, rays2d = self._intrinsics(K_cam2, *raw_wh)
         return _pack_multiview(imgs, extMs, depth, self.center, intM,
-                               rays2d, scene, str(img_idx))
+                               rays2d, scene, str(img_idx),
+                               frame_ids=[str(ci) for ci in idx_list])
 
 
 class KittiSingleView:

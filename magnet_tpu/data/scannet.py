@@ -100,19 +100,27 @@ class ScanNetMultiView:
                     scale=1000.0, size=(self.img_w, self.img_h))
 
         return _pack_multiview(imgs, extMs, depth, self.center, intM,
-                               rays2d, scene, str(img_idx))
+                               rays2d, scene, str(img_idx),
+                               frame_ids=[str(ci) for ci in idx_list])
 
 
 def _pack_multiview(imgs, extMs, depth, center, intM, rays2d, scene,
-                    img_idx) -> Dict:
-    """Split ref/src, compute relative poses + validity."""
+                    img_idx, frame_ids=None) -> Dict:
+    """Split ref/src, compute relative poses + validity.
+
+    frame_ids: optional per-frame tokens aligned with ``imgs``; emitted as
+    ``view_ids`` = ["scene/ref", "scene/src0", ...] so the streaming eval
+    path (eval/streaming.py) can cache per-frame trunk encodings across
+    overlapping windows. Identical frames must get identical ids; frames
+    unique to one sample may use any unique token.
+    """
     ref_ext = np.asarray(extMs[center])[None]
     src_ext = np.asarray([extMs[i] for i in range(len(extMs))
                           if i != center])[None]
     rel, valid = poses_lib.relative_poses(ref_ext, src_ext)
     R, t = poses_lib.split_rt(rel)
     src_imgs = np.stack([imgs[i] for i in range(len(imgs)) if i != center])
-    return {
+    out = {
         "ref_img": imgs[center].astype(np.float32),
         "src_imgs": src_imgs.astype(np.float32),
         "depth": depth.astype(np.float32),
@@ -121,6 +129,11 @@ def _pack_multiview(imgs, extMs, depth, center, intM, rays2d, scene,
         "rays2d": rays2d.astype(np.float32),
         "scene_name": scene, "img_idx": img_idx,
     }
+    if frame_ids is not None:
+        out["view_ids"] = ([f"{scene}/{frame_ids[center]}"] +
+                           [f"{scene}/{frame_ids[i]}"
+                            for i in range(len(frame_ids)) if i != center])
+    return out
 
 
 class ScanNetSingleView:

@@ -69,7 +69,8 @@ class SevenScenesMultiView:
 
         return _pack_multiview(imgs, extMs, depth, self.center, self.intM,
                                self.rays2d, f"{scene}_seq-{seq_id:02d}",
-                               str(img_idx))
+                               str(img_idx),
+                               frame_ids=[str(ci) for ci in idx_list])
 
 
 class SevenScenesSingleView:

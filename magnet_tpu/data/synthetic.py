@@ -80,8 +80,13 @@ class SyntheticMultiView:
             extMs.append(np.eye(4) if i == self.center
                          else _small_pose(rng))
 
+        # synthetic frames are generated per-sample (rng(idx)) and never
+        # shared across samples, so every view id is unique: the streaming
+        # cache gets no hits here, which is the honest behavior.
         return _pack_multiview(imgs, extMs, depth, self.center,
-                               intM, rays2d, "synthetic", str(idx))
+                               intM, rays2d, "synthetic", str(idx),
+                               frame_ids=[f"{idx}_{i}"
+                                          for i in range(len(imgs))])
 
 
 class SyntheticSingleView:

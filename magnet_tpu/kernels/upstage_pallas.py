@@ -307,4 +307,8 @@ def supported(x_shape, skip_shape, itemsize: int = 2) -> bool:
     _, H, W, Cs = skip_shape
     if Cx != 512 or Cs > 128 or H != 2 * Hs or W != 2 * Ws:
         return False
+    # Mosaic memref slices along the width (sublane) dim must be 8-aligned
+    # (small eval shapes like Ws=12 fail to compile otherwise).
+    if Ws % 8 != 0:
+        return False
     return _tile(H, Ws, W, Cx, 256, itemsize) is not None

@@ -96,7 +96,18 @@ def _frozen(cls):
 
 
 class Magnet(nn.Module):
-    """Full pipeline. Inputs NHWC; poses/intrinsics as in ops.costvolume."""
+    """Full pipeline. Inputs NHWC; poses/intrinsics as in ops.costvolume.
+
+    Besides the monolithic ``__call__`` (the reference protocol,
+    MAGNET.py:130-175), the frozen trunk work and the per-window fusion are
+    exposed separately as ``encode`` / ``fuse`` for the streaming serving
+    path: in video, every frame is re-encoded ~(V+1) times by the
+    monolithic protocol (once as reference, V times as a neighbor) even
+    though the frozen D-Net/F-Net outputs depend only on the frame itself.
+    ``encode`` once per frame + ``fuse`` per window returns identical
+    predictions while cutting steady-state per-frame work to one trunk
+    pass (see eval/streaming.py, scripts/bench_streaming.py).
+    """
     output_dim: int = 2
     downsample_ratio: int = 4
     use_bn: bool = True
@@ -107,7 +118,73 @@ class Magnet(nn.Module):
     n_iters: int = 3
     dnet_feature_dim: int = 256
 
-    @nn.compact
+    def setup(self):
+        self.d_net = _frozen(DNetCoarse)(
+            output_dim=self.output_dim,
+            downsample_ratio=self.downsample_ratio,
+            use_bn=self.use_bn)
+        self.f_net = _frozen(FNet)(feature_dim=self.fnet_feature_dim)
+        self.g_net = GNet()
+        self.mask_head = MagnetMaskHead(9 * self.downsample_ratio ** 2)
+
+    def encode(self, imgs: jnp.ndarray, train: bool = False):
+        """Frozen per-frame trunk features (frame-identity-dependent only).
+
+        imgs: (N, H, W, 3) -> (gauss (N, h, w, 2) coarse (mu, sigma),
+        feat_d (N, h, w, 256) decoder feature, feat_m (N, h, w, F) matching
+        feature). The reference computes these under no_grad on
+        cat(ref, nghbrs) every forward (MAGNET.py:133-144); they are pure
+        functions of each frame, so the streaming path caches them.
+        """
+        mono, feat_d = self.d_net(imgs, train=False)
+        feat_m = self.f_net(imgs, train=False)
+        return (jax.lax.stop_gradient(mono),
+                jax.lax.stop_gradient(feat_d),
+                jax.lax.stop_gradient(feat_m))
+
+    def fuse(self, ref_gauss: jnp.ndarray, x_d3: jnp.ndarray,
+             ref_feat: jnp.ndarray, src_gauss: jnp.ndarray,
+             src_feat: jnp.ndarray, src_R: jnp.ndarray, src_t: jnp.ndarray,
+             is_valid: jnp.ndarray, intM: jnp.ndarray, rays2d: jnp.ndarray,
+             train: bool = False, n_iters: int = None) -> List[jnp.ndarray]:
+        """Iterative refinement + learned upsampling from encoded features.
+
+        ref_gauss: (B, h, w, 2); x_d3: (B, h, w, 256); ref_feat:
+        (B, h, w, F); src_gauss: (B, V, h, w, 2); src_feat: (B, V, h, w, F);
+        poses/intrinsics as in ``__call__``.
+        """
+        n_iters = n_iters if n_iters is not None else self.n_iters
+        kappa = parse_weighting(self.mvs_weighting)
+        ks = jnp.asarray(gaussian_sampling_offsets(self.sampling_range,
+                                                   self.n_samples))
+        src_mu = src_gauss[..., 0]
+        src_sigma = src_gauss[..., 1]
+
+        # ---- Iterative Gaussian refinement (static unroll,
+        # MAGNET.py:151-169). Hoist the iteration-invariant feature branch
+        # of G-Net's first layer out of the loop (the decoder feature never
+        # changes).
+        feat_contrib = self.g_net.precompute_feature(x_d3, train)
+        pred_list = [ref_gauss]
+        for _ in range(n_iters):
+            prev = jax.lax.stop_gradient(pred_list[-1])
+            mu, sigma = prev[..., 0], prev[..., 1]
+            d_volume = mu[..., None] + sigma[..., None] * ks   # (B,h,w,D)
+
+            cv = cost_volume_cw(d_volume, ref_feat, src_feat, src_mu,
+                                src_sigma, src_R, src_t, is_valid, intM,
+                                rays2d, kappa)
+            cv = jax.lax.stop_gradient(cv)
+
+            new_pred = self.g_net(cv.astype(x_d3.dtype), feat_contrib,
+                                  prev, train=train)
+            pred_list.append(new_pred)
+
+        # ---- Shared learned upsampling (MAGNET.py:171-173)
+        k = self.downsample_ratio
+        mask = self.mask_head(x_d3, train)
+        return [upsample_via_mask(p, mask, k) for p in pred_list[1:]]
+
     def __call__(self, ref_img: jnp.ndarray, src_imgs: jnp.ndarray,
                  src_R: jnp.ndarray, src_t: jnp.ndarray,
                  is_valid: jnp.ndarray, intM: jnp.ndarray,
@@ -120,59 +197,20 @@ class Magnet(nn.Module):
         """
         B, V = src_imgs.shape[0], src_imgs.shape[1]
         H, W = ref_img.shape[1], ref_img.shape[2]
-        n_iters = n_iters if n_iters is not None else self.n_iters
-        kappa = parse_weighting(self.mvs_weighting)
-        k_list = gaussian_sampling_offsets(self.sampling_range,
-                                           self.n_samples)
 
         # ---- Frozen single-view + matching backbones, one batched pass
         all_imgs = jnp.concatenate(
             [ref_img, src_imgs.reshape(B * V, H, W, 3)], axis=0)
-
-        mono, feat_d = _frozen(DNetCoarse)(
-            output_dim=self.output_dim,
-            downsample_ratio=self.downsample_ratio,
-            use_bn=self.use_bn, name="d_net")(all_imgs, train=False)
-        mono = jax.lax.stop_gradient(mono)
-        feat_d = jax.lax.stop_gradient(feat_d)
+        mono, feat_d, feat_m = self.encode(all_imgs, train=train)
         ref_gauss = mono[:B]                               # (B, h, w, 2)
         src_gauss = mono[B:].reshape(B, V, *mono.shape[1:])
         x_d3 = feat_d[:B]                                  # (B, h, w, 256)
-
-        feat_m = _frozen(FNet)(feature_dim=self.fnet_feature_dim,
-                               name="f_net")(all_imgs, train=False)
-        feat_m = jax.lax.stop_gradient(feat_m)
         ref_feat = feat_m[:B]
         src_feat = feat_m[B:].reshape(B, V, *feat_m.shape[1:])
 
-        src_mu = src_gauss[..., 0]
-        src_sigma = src_gauss[..., 1]
-
-        # ---- Iterative Gaussian refinement (static unroll)
-        ks = jnp.asarray(k_list)                           # (D,)
-        g_net = GNet(name="g_net")                         # shared weights
-        # Hoist the iteration-invariant feature branch of G-Net's first
-        # layer out of the loop (the decoder feature never changes).
-        feat_contrib = g_net.precompute_feature(x_d3, train)
-        pred_list = [ref_gauss]
-        for _ in range(n_iters):
-            prev = jax.lax.stop_gradient(pred_list[-1])
-            mu, sigma = prev[..., 0], prev[..., 1]
-            d_volume = mu[..., None] + sigma[..., None] * ks   # (B,h,w,D)
-
-            cv = cost_volume_cw(d_volume, ref_feat, src_feat, src_mu,
-                                src_sigma, src_R, src_t, is_valid, intM,
-                                rays2d, kappa)
-            cv = jax.lax.stop_gradient(cv)
-
-            new_pred = g_net(cv.astype(x_d3.dtype), feat_contrib, prev,
-                             train=train)
-            pred_list.append(new_pred)
-
-        # ---- Shared learned upsampling
-        k = self.downsample_ratio
-        mask = MagnetMaskHead(9 * k * k, name="mask_head")(x_d3, train)
-        return [upsample_via_mask(p, mask, k) for p in pred_list[1:]]
+        return self.fuse(ref_gauss, x_d3, ref_feat, src_gauss, src_feat,
+                         src_R, src_t, is_valid, intM, rays2d,
+                         train=train, n_iters=n_iters)
 
 
 class MagnetF(nn.Module):

@@ -36,25 +36,39 @@ def main():
     n_iters = args.MAGNET_num_test_iter
     cdt = dtypes.resolve(args.compute_dtype)
 
-    @jax.jit
-    def forward(ref_img, src_imgs, R, t, is_valid, intM, rays2d):
-        v = {"params": dtypes.cast_floating(variables["params"], cdt),
-             "batch_stats": variables["batch_stats"]}
-        preds = model.apply(v, ref_img.astype(cdt), src_imgs.astype(cdt),
-                            R, t, is_valid, intM, rays2d, train=False,
-                            n_iters=n_iters)
-        return preds[-1]
+    def cast_params(variables):
+        return {"params": dtypes.cast_floating(variables["params"], cdt),
+                "batch_stats": variables["batch_stats"]}
 
-    def forward_batch(batch):
-        return forward(jnp.asarray(batch["ref_img"]),
-                       jnp.asarray(batch["src_imgs"]),
-                       jnp.asarray(batch["R"]), jnp.asarray(batch["t"]),
-                       jnp.asarray(batch["is_valid"]),
-                       jnp.asarray(batch["intM"]),
-                       jnp.asarray(batch["rays2d"]))
+    cache = None
+    if args.cache_features:
+        from magnet_tpu.eval import streaming
+        forward_batch, cache = streaming.make_streaming_forward(
+            model, variables, cast_params, lambda x: x.astype(cdt),
+            n_iters, max_frames=args.cache_max_frames)
+    else:
+        @jax.jit
+        def forward(ref_img, src_imgs, R, t, is_valid, intM, rays2d):
+            v = cast_params(variables)
+            preds = model.apply(v, ref_img.astype(cdt),
+                                src_imgs.astype(cdt),
+                                R, t, is_valid, intM, rays2d, train=False,
+                                n_iters=n_iters)
+            return preds[-1]
+
+        def forward_batch(batch):
+            return forward(jnp.asarray(batch["ref_img"]),
+                           jnp.asarray(batch["src_imgs"]),
+                           jnp.asarray(batch["R"]), jnp.asarray(batch["t"]),
+                           jnp.asarray(batch["is_valid"]),
+                           jnp.asarray(batch["intM"]),
+                           jnp.asarray(batch["rays2d"]))
 
     loader = make_multiview_loader(args, _TEST_MODES[args.dataset_name])
     m = harness.evaluate_magnet(forward_batch, loader, args)
+    if cache is not None:
+        print(f"feature cache: {cache.hits} hits / {cache.misses} misses "
+              f"({100 * cache.hit_rate:.1f}% hit rate)")
     first_line = ("dataset: %s / d_min: %s / d_max: %s / ckpt_path: %s"
                   % (args.dataset_name, args.min_depth, args.max_depth,
                      args.MAGNET_ckpt))
