@@ -119,3 +119,22 @@ def test_magnet_stage_chain(tmp_path):
     _run("test_MaGNet.py", cfg_t)
     acc = (exp / "t" / "log" / "test_acc.txt").read_text()
     assert "abs_rel" in acc
+
+    # Streaming eval (--cache_features) through the same CLI must produce
+    # the same metric table (synthetic view_ids are unique per sample, so
+    # the cache exercises the encode/fuse split without hits).
+    cfg_s = _write_cfg(tmp_path / "s.txt", [
+        "--exp_name s", f"--exp_dir {exp}", "--visible_gpus 0",
+        f"--DNET_ckpt {d_ckpt}", f"--FNET_ckpt {f_ckpt}",
+        f"--MAGNET_ckpt {m_ckpt}", "--cache_features",
+        "--MAGNET_num_test_iter 1"] + mv + _COMMON)
+    _run("test_MaGNet.py", cfg_s)
+    acc_s = (exp / "s" / "log" / "test_acc.txt").read_text()
+
+    def _row(txt):
+        lines = [ln for ln in txt.strip().splitlines()]
+        return np.asarray([float(v) for v in lines[-1].split()])
+
+    np.testing.assert_allclose(_row(acc_s), _row(acc), rtol=2e-3, atol=5e-3,
+                               err_msg="streaming eval diverged from the "
+                                       "monolithic protocol")
