@@ -45,21 +45,22 @@ def ref_gpu_fps() -> float:
         return DEFAULT_REF_GPU_FPS
 
 
-def example_inputs(batch=1):
+def example_inputs(batch=1, img_h=H, img_w=W, n_views=V):
     rng = np.random.RandomState(0)
-    h, w = H // 4, W // 4
-    fx = 0.9 * W / 4
+    h, w = img_h // 4, img_w // 4
+    fx = 0.9 * img_w / 4
     K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
     grid = np.ones((h, w, 3), np.float32)
     grid[:, :, 0] = (np.arange(w)[None] + 0.5 - K[0, 2]) / K[0, 0]
     grid[:, :, 1] = (np.arange(h)[:, None] + 0.5 - K[1, 2]) / K[1, 1]
     rays = grid.transpose(2, 0, 1).reshape(3, -1)
     return (
-        jnp.asarray(rng.rand(batch, H, W, 3), jnp.float32),
-        jnp.asarray(rng.rand(batch, V, H, W, 3), jnp.float32),
-        jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (batch, V, 1, 1))),
-        jnp.asarray(rng.randn(batch, V, 3).astype(np.float32) * 0.05),
-        jnp.ones((batch, V), jnp.float32),
+        jnp.asarray(rng.rand(batch, img_h, img_w, 3), jnp.float32),
+        jnp.asarray(rng.rand(batch, n_views, img_h, img_w, 3), jnp.float32),
+        jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                            (batch, n_views, 1, 1))),
+        jnp.asarray(rng.randn(batch, n_views, 3).astype(np.float32) * 0.05),
+        jnp.ones((batch, n_views), jnp.float32),
         jnp.asarray(np.tile(K, (batch, 1, 1))),
         jnp.asarray(np.tile(rays, (batch, 1, 1))),
     )

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from magnet_tpu.kernels.psmstage_pallas import _shift_w, _tile_h
+from magnet_tpu.kernels.psmstage_pallas import _shift_w
 
 
 def _kernel(raw_hbm, skip_hbm, br_hbm, w0_ref, s_ref, t_ref, w1_ref,
@@ -121,7 +121,7 @@ def spp_tail_fused(raw: jnp.ndarray, skip: jnp.ndarray, br: jnp.ndarray,
     c_skip = skip.shape[-1]
     cmid = w0.shape[-1]
     cout = w1.shape[-1]
-    tile = _tile_h(H)
+    tile = _pick_tile(H, W, cout)
     dt = raw.dtype
 
     # Lane-align the 64-channel raw map and the matching weight rows
@@ -162,18 +162,38 @@ def spp_tail_fused(raw: jnp.ndarray, skip: jnp.ndarray, br: jnp.ndarray,
       w1.astype(dt))
 
 
+def _est_bytes(th: int, W: int, feature_dim: int = 64,
+               itemsize: int = 2) -> int:
+    """Static VMEM estimate for a row tile: three halo slabs (raw is
+    lane-PADDED to 128, so 3x128 lanes resident), f32 accumulator,
+    shifted-slab transients, weights. Real scoped allocation runs
+    ~2-3 MB above this (per-op transients), so the budget below keeps
+    that margin under the 16 MB limit — calibrated by the KITTI-shape
+    failure: th=22 at W=304 estimated 15.0 MB and allocated 16.64."""
+    slabs = (th + 2) * W * (128 + 128 + 128) * itemsize
+    acc = th * W * 128 * 4
+    trans = 3 * th * W * 128 * itemsize
+    wts = (9 * 384 * 128 + 128 * feature_dim) * itemsize
+    return slabs + acc + trans + wts
+
+
+def _pick_tile(H: int, W: int, feature_dim: int = 64,
+               itemsize: int = 2):
+    """Largest row tile dividing H whose working set fits the budget
+    (wide KITTI maps take a smaller tile than ScanNet's 24)."""
+    for t in (24, 22, 20, 16, 15, 12, 11, 10, 8, 6, 5, 4):
+        # H // t >= 2: the top/bottom edge re-shifts assume distinct
+        # first/last tiles
+        if (H % t == 0 and H // t >= 2 and
+                _est_bytes(t, W, feature_dim, itemsize)
+                <= 12 * 1024 * 1024):
+            return t
+    return None
+
+
 def supported(x_shape, feature_dim: int, itemsize: int = 2) -> bool:
     """x_shape: layer4 output (N, H, W, 128)."""
     N, H, W, C = x_shape
-    if C != 128 or feature_dim > 128 or _tile_h(H) is None:
+    if C != 128 or feature_dim > 128:
         return False
-    th = _tile_h(H)
-    if H // th < 2:
-        # the top/bottom edge re-shifts assume distinct first/last tiles
-        return False
-    # three halo slabs + weights + f32 acc + shifted-slab transients
-    slabs = (th + 2) * W * (64 + 128 + 128) * itemsize
-    acc = th * W * 128 * 4
-    trans = 3 * th * W * 128 * itemsize
-    wts = (9 * 320 * 128 + 128 * feature_dim) * itemsize
-    return slabs + acc + trans + wts <= 14 * 1024 * 1024
+    return _pick_tile(H, W, feature_dim, itemsize) is not None

@@ -29,9 +29,9 @@ step seeds the window (2-row head DMA + one extra mid row) and the last
 step re-shifts the bottom-clamped DMA and zeroes the out-of-image rows
 so both convs see XLA's zero padding.
 
-Only engaged where the working set fits VMEM (ScanNet-shaped up3;
-KITTI's 304-wide maps fall back to XLA). Training and non-TPU backends
-keep the XLA path (no VJP).
+Only engaged where the working set fits VMEM: ScanNet-shaped up3 runs
+at tile 8, KITTI's 304-wide maps squeeze in at tile 4 (bf16; f32 traces
+fall back). Training and non-TPU backends keep the XLA path (no VJP).
 """
 
 from __future__ import annotations

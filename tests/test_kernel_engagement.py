@@ -38,6 +38,39 @@ def test_scannet_gate_engagement():
     assert cv.supported(np.zeros((1, 120, 160, 5)), 120, 160)
 
 
+def test_kitti_gate_engagement():
+    """KITTI bench shapes (352x1216, V=2 -> batch 3, dpv 88x304). The
+    whole set below compiled and ran on a real v5e (scripts/
+    bench_kitti.py, 32.6 fps); pinning both the engaged and the
+    fallen-back decisions guards against gates drifting into the scoped-
+    VMEM OOM this shape exposed (spptail tile 22 allocated 16.64 MB)."""
+    import numpy as np
+    from magnet_tpu.kernels import (convstream_pallas as cs,
+                                    costvolume_pallas as cv,
+                                    gnet_pallas as gp,
+                                    headchain_pallas as hc,
+                                    psmstage_pallas as ps,
+                                    psmtrans_pallas as pt,
+                                    psmtrans2_pallas as pt2,
+                                    spptail_pallas as st,
+                                    upstage_pallas as up)
+    # engaged at KITTI
+    assert up.supported((3, 44, 152, 512), (3, 88, 304, 40))
+    assert cs.up2_supported((3, 22, 76, 1024), (3, 44, 152, 64))
+    assert hc.supported((3, 88, 304, 256))
+    assert ps.supported((3, 88, 304, 64), 15, 1, 2)     # layer2 tail
+    assert pt2.supported((3, 88, 304, 64), 2)           # layer3_0
+    assert st.supported((3, 88, 304, 128), 64)          # SPP tail
+    assert gp.supported((1, 88, 304, 5), 128)
+    assert cv.supported(np.zeros((1, 88, 304, 5)), 88, 304)
+    # XLA fallbacks at KITTI (whole-map chains bust VMEM at 176x608 /
+    # 128ch x 304w; XLA measured faster there anyway — docs/KERNELS.md)
+    assert not ps.supported((3, 176, 608, 32), 2, 1, 2)
+    assert not pt.supported((3, 176, 608, 32))
+    assert not ps.supported((3, 88, 304, 128), 2, 1, 2)
+    assert not ps.supported((3, 88, 304, 128), 2, 2, 2)
+
+
 def test_f32_traces_fall_back():
     """A f32 trace (debug / the driver's compile check before the bf16
     cast) must NOT engage the 2-byte-budgeted kernels at the big

@@ -51,9 +51,15 @@ def test_spp_tail_edge_rows_zero_padded():
 
 
 def test_supported_gates():
+    from magnet_tpu.kernels.spptail_pallas import _pick_tile
     assert supported((5, 120, 160, 128), 64)   # ScanNet dpv
     assert supported((5, 88, 304, 128), 64)    # KITTI dpv
-    assert not supported((1, 16, 16, 128), 64)   # single tile
+    # KITTI's 304-wide maps must take a smaller row tile than ScanNet:
+    # tile 22 statically estimates 15.0 MB and allocated 16.64 MB scoped
+    # VMEM on a real v5e (over the 16 MB limit)
+    assert _pick_tile(120, 160) == 24
+    assert _pick_tile(88, 304) <= 11
+    assert not supported((1, 4, 16, 128), 64)    # single tile only
     assert not supported((1, 13, 16, 128), 64)   # no tile divides H
     assert not supported((1, 32, 16, 64), 64)    # wrong skip channels
     assert not supported((5, 120, 160, 128), 256)  # feature_dim > 128
