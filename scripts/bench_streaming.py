@@ -26,14 +26,18 @@ import jax.numpy as jnp
 from bench import example_inputs, example_variables
 from magnet_tpu.models.magnet import Magnet
 
+# --kitti: 352x1216, V=2 (test_scripts/magnet/kitti_eigen.txt)
+_SHAPES = {"scannet": (480, 640, 4), "kitti": (352, 1216, 2)}
 
-def main(compute_dtype=jnp.bfloat16):
+
+def main(compute_dtype=jnp.bfloat16, shape="scannet"):
     from magnet_tpu.core.cache import enable_compilation_cache
     from magnet_tpu.core.dtypes import cast_floating
     enable_compilation_cache()
 
+    img_h, img_w, n_views = _SHAPES[shape]
     model = Magnet(n_iters=3)
-    inputs = example_inputs()
+    inputs = example_inputs(img_h=img_h, img_w=img_w, n_views=n_views)
     variables = example_variables(model, inputs)
     ref_img, src_imgs, R, t, valid, intM, rays2d = inputs
 
@@ -80,12 +84,12 @@ def main(compute_dtype=jnp.bfloat16):
     fps = (8 - 1) / (tN - t1)
 
     print(json.dumps({
-        "metric": "magnet_scannet_streaming_inference",
+        "metric": f"magnet_{shape}_streaming_inference",
         "value": round(fps, 3),
-        "unit": "frames/sec/chip (640x480, V=4, 3 iters, "
-                "steady-state video: 1 encode + 1 fuse per frame)",
+        "unit": f"frames/sec/chip ({img_w}x{img_h}, V={n_views}, 3 iters,"
+                " steady-state video: 1 encode + 1 fuse per frame)",
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(shape="kitti" if "--kitti" in sys.argv[1:] else "scannet")
