@@ -70,22 +70,26 @@ def make_streaming_forward(model, variables, cast_params, cast_img,
     reference eval protocol) and ``batch['view_ids']`` from the loader.
     Returns (forward, cache) — cache exposes hit/miss counters.
     """
+    # The cast runs once, on device; cvars then rides along as a jit
+    # ARGUMENT (closure-captured weights would be embedded into the
+    # lowered program as constants — see test_DNet.py).
     cvars = cast_params(variables)
 
     @jax.jit
-    def encode(img):
+    def encode(cvars, img):
         return model.apply(cvars, cast_img(img), train=False,
                            method="encode")
 
     @jax.jit
-    def fuse(ref_gauss, x_d3, ref_feat, src_gauss, src_feat,
+    def fuse(cvars, ref_gauss, x_d3, ref_feat, src_gauss, src_feat,
              R, t, is_valid, intM, rays2d):
         preds = model.apply(cvars, ref_gauss, x_d3, ref_feat, src_gauss,
                             src_feat, R, t, is_valid, intM, rays2d,
                             train=False, n_iters=n_iters, method="fuse")
         return preds[-1]
 
-    cache = FrameEncodingCache(encode, max_frames=max_frames)
+    cache = FrameEncodingCache(lambda img: encode(cvars, img),
+                               max_frames=max_frames)
 
     def forward(batch):
         ids = batch["view_ids"][0]          # batch 1: [ref, src0, ...]
@@ -101,7 +105,8 @@ def make_streaming_forward(model, variables, cast_params, cast_img,
         src = [cache.get(ids[1 + i], src_imgs[:, i]) for i in range(V)]
         src_gauss = jnp.stack([e[0][0] for e in src])[None]
         src_feat = jnp.stack([e[2][0] for e in src])[None]
-        return fuse(ref_gauss, ref_fd, ref_fm, src_gauss, src_feat,
+        return fuse(cvars, ref_gauss, ref_fd, ref_fm, src_gauss,
+                    src_feat,
                     jnp.asarray(batch["R"]), jnp.asarray(batch["t"]),
                     jnp.asarray(batch["is_valid"]),
                     jnp.asarray(batch["intM"]),

@@ -80,6 +80,10 @@ def _is_torch_ckpt(path: str) -> bool:
 
 
 def load_dnet_checkpoint(variables, path: str):
+    if not path:
+        # empty --ckpt_path: evaluate the initialized model (smoke runs
+        # without weights; mirrors load_magnet_checkpoints' empty-skip)
+        return variables
     if _is_torch_ckpt(path):
         sd = torch_loader.load_state_dict(path)
         return torch_loader.convert_dnet(sd, variables)

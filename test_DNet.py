@@ -35,14 +35,19 @@ def main():
 
     cdt = dtypes.resolve(args.compute_dtype)
 
+    # Weights are jit ARGUMENTS, not closure constants: a closure would
+    # embed every parameter into the lowered program (a ~580 MB module at
+    # the KITTI shape — it breaks remote-compile tunnels and recompiles
+    # per checkpoint).
     @jax.jit
-    def forward(img):
+    def forward(variables, img):
         v = {"params": dtypes.cast_floating(variables["params"], cdt),
              "batch_stats": variables["batch_stats"]}
         return model.apply(v, img.astype(cdt), train=False)
 
     loader = make_singleview_loader(args, _TEST_MODES[args.dataset_name])
-    m = harness.evaluate_dnet(forward, loader, args)
+    m = harness.evaluate_dnet(lambda img: forward(variables, img),
+                              loader, args)
     first_line = ("dataset: %s / d_min: %s / d_max: %s / ckpt_path: %s"
                   % (args.dataset_name, args.min_depth, args.max_depth,
                      args.ckpt_path))

@@ -47,8 +47,11 @@ def main():
             model, variables, cast_params, lambda x: x.astype(cdt),
             n_iters, max_frames=args.cache_max_frames)
     else:
+        # weights as jit arguments (a closure would embed them as
+        # constants of the lowered program — see test_DNet.py)
         @jax.jit
-        def forward(ref_img, src_imgs, R, t, is_valid, intM, rays2d):
+        def forward(variables, ref_img, src_imgs, R, t, is_valid, intM,
+                    rays2d):
             v = cast_params(variables)
             preds = model.apply(v, ref_img.astype(cdt),
                                 src_imgs.astype(cdt),
@@ -57,7 +60,7 @@ def main():
             return preds[-1]
 
         def forward_batch(batch):
-            return forward(jnp.asarray(batch["ref_img"]),
+            return forward(variables, jnp.asarray(batch["ref_img"]),
                            jnp.asarray(batch["src_imgs"]),
                            jnp.asarray(batch["R"]), jnp.asarray(batch["t"]),
                            jnp.asarray(batch["is_valid"]),
