@@ -7,8 +7,10 @@ inference loop. The XLA path spends ~4.8 ms/iteration in one
 gather cost on TPU is per-slice overhead, so the fix is to stop gathering.
 
 Design (row-band + interpolation-matmul):
-  grid = (row_tiles, D candidates); the V-view loop is unrolled INSIDE
-  the kernel (a (tiles, D, V) grid was measured per-step-overhead bound).
+  grid = (B, row_tiles, D candidates); the V-view loop is unrolled INSIDE
+  the kernel (a (tiles, D, V) grid was measured per-step-overhead bound;
+  the batch axis is outermost, so B=1 — the eval protocol — compiles to
+  exactly the original (tiles, D) schedule).
   Per step, the kernel
     1. starts all V band DMAs up front — each a BAND-row slab of that
        view's packed source map (feat ‖ mu ‖ sigma, (BAND, W, C+2)) from
@@ -39,11 +41,21 @@ motion under ~8 rows of vertical parallax spread per 8-row tile; the
 golden tests cover both in-band exactness and the is_valid / out-of-image
 edges. ``ops.costvolume.cost_volume_cw`` keeps the XLA path as the
 fallback and reference.
+
+Fail-safe guard: ``cost_volume_cw_oob_fraction`` measures — in pure XLA,
+from the same planning tensors the kernel prefetches — the exact fraction
+of samples whose bilinear footprint escapes the loaded slabs, and
+``cost_volume_cw_pallas_guarded`` lax.cond-falls-back to the XLA path when
+that fraction exceeds a tolerance, so frames with motion beyond the slab
+budget (large parallax, wide early-iteration candidate spread) get
+reference-exact results. See tests/test_costvolume_pallas.py (degraded
+regime) and scripts/cv_motion_sweep.py (motion-regime bound).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -68,38 +80,39 @@ def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
     whenever a pair's sampled rows span <= 2*c_rows - 2 source rows
     (degrading to the same zero-cost semantics beyond, like the band
     kernel beyond band - 1)."""
-    t = pl.program_id(0)
-    d = pl.program_id(1)
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    d = pl.program_id(2)
 
     for v in range(n_views):
         pltpu.make_async_copy(
-            p_any.at[v, pl.ds(r0_ref[v, d, t], band)],
+            p_any.at[b, v, pl.ds(r0_ref[b, v, d, t], band)],
             band_vmem.at[v], sem.at[v]).start()
 
-    tile_h, W = x_ref.shape[2:]
+    tile_h, W = x_ref.shape[3:]
     nc = band_vmem.shape[-1]
     chunk = c_rows * W
     n_pairs = tile_h // 2
-    q = q_ref[...].astype(jnp.float32)                # (tile_h, W, C_feat)
+    q = q_ref[0].astype(jnp.float32)                  # (tile_h, W, C_feat)
     r_rel = rc_ref[0]                                 # (chunk,) f32
     c_idx = rc_ref[1]
 
     total = jnp.zeros((tile_h, W), jnp.float32)
     for v in range(n_views):
-        x = x_ref[v, 0]                               # (tile_h, W) f32
-        y = y_ref[v, 0]
-        z = z_ref[v, 0]
-        r0 = r0_ref[v, d, t]
+        x = x_ref[0, v, 0]                            # (tile_h, W) f32
+        y = y_ref[0, v, 0]
+        z = z_ref[0, v, 0]
+        r0 = r0_ref[b, v, d, t]
         r0f = r0.astype(jnp.float32)
         pltpu.make_async_copy(
-            p_any.at[v, pl.ds(r0, band)],
+            p_any.at[b, v, pl.ds(r0, band)],
             band_vmem.at[v], sem.at[v]).wait()
 
         for p in range(n_pairs):
             sl = slice(2 * p, 2 * p + 2)
             xp = x[sl]                                # (2, W)
             yp = y[sl]
-            rp = rp_ref[v, d, t, p]
+            rp = rp_ref[b, v, d, t, p]
             base = r0f + rp.astype(jnp.float32)
             wxp = jnp.maximum(0.0, 1.0 - jnp.abs(xp[..., None] - c_idx))
 
@@ -118,7 +131,7 @@ def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
 
             acc_ref[sl] = dot(build(0), 0)
 
-            @pl.when(two_ref[v, d, t, p] > 0)
+            @pl.when(two_ref[b, v, d, t, p] > 0)
             def _second(build=build, dot=dot, sl=sl):
                 acc_ref[sl] += dot(build(c_rows), c_rows)
 
@@ -128,32 +141,35 @@ def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
         w_sigma = acc[..., n_feat + 1]
         consistent = (jnp.abs(z - w_mu) < w_sigma * kappa)
         total = total + (feat_cost * consistent.astype(jnp.float32)
-                         * valid_ref[v])
+                         * valid_ref[b, v])
 
-    out_ref[0] = total
+    out_ref[0, 0] = total
 
 
 def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
             rc_ref, p_any, out_ref, band_vmem, sem, *,
             n_views: int, band: int, c_rows: int, n_feat: int,
             kappa: float, matmul_dtype):
-    t = pl.program_id(0)
-    d = pl.program_id(1)
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    d = pl.program_id(2)
 
     # All views' band DMAs start up front (independent scratch slabs +
     # semaphores) so view v+1's copy overlaps view v's compute. The view
     # loop lives INSIDE the kernel: a (tiles, D, V) grid spent more in
     # per-step fixed costs (dispatch, q reload, out read-modify-write)
-    # than it saved — folding V cut the grid 4x.
+    # than it saved — folding V cut the grid 4x. The batch axis is the
+    # OUTERMOST grid dim (training batches / batched serving), so B=1
+    # compiles to exactly the round-2 grid.
     for v in range(n_views):
         pltpu.make_async_copy(
-            p_any.at[v, pl.ds(r0_ref[v, d, t], band)],
+            p_any.at[b, v, pl.ds(r0_ref[b, v, d, t], band)],
             band_vmem.at[v], sem.at[v]).start()
 
-    tile_h, W = x_ref.shape[2:]
+    tile_h, W = x_ref.shape[3:]
     nc = band_vmem.shape[-1]
     chunk = c_rows * W
-    q = q_ref[...].astype(jnp.float32)                # (tile_h, W, C_feat)
+    q = q_ref[0].astype(jnp.float32)                  # (tile_h, W, C_feat)
     # rc_ref holds the grid-invariant column patterns (j // W, j % W)
     # precomputed once in XLA.
     r_rel = rc_ref[0]                                 # (chunk,) f32
@@ -161,12 +177,12 @@ def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
 
     total = jnp.zeros((tile_h, W), jnp.float32)
     for v in range(n_views):
-        x = x_ref[v, 0]                               # (tile_h, W) f32
-        y = y_ref[v, 0]
-        z = z_ref[v, 0]
-        r0f = r0_ref[v, d, t].astype(jnp.float32)
+        x = x_ref[0, v, 0]                            # (tile_h, W) f32
+        y = y_ref[0, v, 0]
+        z = z_ref[0, v, 0]
+        r0f = r0_ref[b, v, d, t].astype(jnp.float32)
         pltpu.make_async_copy(
-            p_any.at[v, pl.ds(r0_ref[v, d, t], band)],
+            p_any.at[b, v, pl.ds(r0_ref[b, v, d, t], band)],
             band_vmem.at[v], sem.at[v]).wait()
 
         # Fused bilinear weight matrix, chunked along the contraction
@@ -215,58 +231,199 @@ def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
         w_sigma = acc[..., n_feat + 1]
         consistent = (jnp.abs(z - w_mu) < w_sigma * kappa)
         total = total + (feat_cost * consistent.astype(jnp.float32)
-                         * valid_ref[v])
+                         * valid_ref[b, v])
 
-    out_ref[0] = total
+    out_ref[0, 0] = total
 
 
-def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
-                           R, t, valid, K, rays2d, kappa, band, tile_h,
-                           interpret, pair):
-    """dvol: (D, H, W) f32; ref_feat: (H, W, C); src_*: (V, ...).
-    Returns (D, H, W) f32 = sum over views of weighted matching cost."""
-    V = src_feat.shape[0]
-    D, H, W = dvol.shape
-    C = ref_feat.shape[-1]
+def _pair_rows(W: int) -> int:
+    """Pair-slab height: 8 rows where the f32 weight transient
+    (2, W, 2*c_rows*W) stays ~1.6 MB (ScanNet W=160 and below), 4 rows at
+    KITTI widths (W=304 would need 5.9 MB, past the scoped-VMEM budget).
+    c_rows*W must stay a 128-multiple for full MXU passes — both 4*160
+    and 8*160 are."""
+    return 8 if W <= 160 else 4
+
+
+def _slab_params(W: int, band: int, pair: bool, pair_rows=None):
+    """Static slab geometry: (c_rows, band). Split from _plan so the
+    array-valued planning can vmap over the batch axis."""
+    if pair:
+        c_rows = pair_rows or _pair_rows(W)
+    else:
+        c_rows = 128 // math.gcd(W, 128)
+        while band % c_rows:
+            c_rows *= 2                               # band is a pow2 mult
+    return c_rows, max(band, 2 * c_rows)              # room for 2 pair slabs
+
+
+def _plan(dvol, R, t, K, rays2d, H, W, band, tile_h, pair, c_rows):
+    """XLA-side precompute shared by the kernel wrapper and the coverage
+    diagnostic: projected sample coordinates plus the per-tile band starts
+    (and per-pair slab offsets) the kernel will actually use. Keeping this
+    in ONE place guarantees the out-of-band diagnostic judges exactly the
+    slabs the kernel loads.
+
+    Slab placement (motion-robustness, measured in
+    scripts/cv_motion_sweep.py):
+      * y is CLAMPED to the image rows first — samples projecting outside
+        the frame contribute nothing (grid_sample zeros padding), so they
+        must not drag the slab away from rows that matter.
+      * In-budget tiles take the exact min-start (kernel bit-exact).
+      * Over-budget tiles center the slab on the tile's MEAN sampled row,
+        so the slab covers the bulk of the samples instead of the lowest
+        outlier (a single near-zero candidate or depth-edge pixel
+        otherwise starves the rest of the tile). Mean, not median: the
+        clamp to [0, H-1] already bounds outlier pull, the measured
+        coverage fractions match median-centering (docs/KERNELS.md), and
+        a median is a sort — ~3800 1280-element sorts per plan at the
+        initial-sweep D, measured ~6 ms/frame of pure planning overhead.
+
+    Returns (x, y, z, r0, rp, two); rp/two are None for the full-band
+    kernel. ``band``/``c_rows`` come from _slab_params."""
     f32 = jnp.float32
-    mdt = jnp.bfloat16 if src_feat.dtype == jnp.bfloat16 else f32
+    V = R.shape[0]
+    D = dvol.shape[0]
 
-    # ---- XLA precompute: projection + per-tile band starts (cheap).
     def proj(R_v, t_v):
         return cv_ops._project(K.astype(f32), R_v.astype(f32),
                                t_v.astype(f32), rays2d.astype(f32),
                                dvol, H, W)
     x, y, z = jax.vmap(proj)(R, t)                    # each (V, D, H, W)
 
-    import math
-    if pair:
-        # Fixed 4-row slabs: pair weight transients stay ~(2, W, 4W) at
-        # any width (c_rows tied to gcd(W, 128) made W=304 build 5.9 MB
-        # tensors); a chunk length that is not a 128-multiple just pads
-        # the final MXU pass.
-        c_rows = 4
-    else:
-        c_rows = 128 // math.gcd(W, 128)
-        while band % c_rows:
-            c_rows *= 2                               # band is a pow2 mult
-    band = max(band, 2 * c_rows)                      # room for 2 pair slabs
-
     n_tiles = H // tile_h
-    y_tiles = y.reshape(V, D, n_tiles, tile_h * W)
-    r0 = jnp.floor(y_tiles.min(axis=-1)).astype(jnp.int32)
+    yc = jnp.clip(y, 0.0, float(H - 1))
+    y_tiles = yc.reshape(V, D, n_tiles, tile_h * W)
+    ymin = jnp.floor(y_tiles.min(axis=-1)).astype(jnp.int32)
+    ymax = jnp.floor(y_tiles.max(axis=-1)).astype(jnp.int32)
+    in_budget = (ymax + 1 - ymin) <= band - 1
+    ycen = y_tiles.mean(axis=-1)
+    r0_cen = jnp.floor(ycen).astype(jnp.int32) - band // 2
+    r0 = jnp.where(in_budget, ymin, r0_cen)
     r0 = jnp.clip(r0, 0, H - band)                    # (V, D, n_tiles)
 
+    rp = two = None
     if pair:
-        # Per-PAIR slab offsets relative to r0: rp = clip(floor(min y of
-        # the 2-row pair) - r0, 0, band - 2*c_rows), and whether the
-        # pair's footprint [floor(min y), floor(max y) + 1] needs a
-        # second c_rows slab.
-        y_pairs = y.reshape(V, D, n_tiles, tile_h // 2, 2 * W)
+        # Per-PAIR slab offsets relative to r0, same min-start /
+        # median-center policy at pair granularity; ``two`` marks pairs
+        # whose footprint needs the second c_rows slab.
+        y_pairs = yc.reshape(V, D, n_tiles, tile_h // 2, 2 * W)
         fmin = jnp.floor(y_pairs.min(axis=-1)).astype(jnp.int32)
         fmax = jnp.floor(y_pairs.max(axis=-1)).astype(jnp.int32)
-        rp = jnp.clip(fmin - r0[..., None], 0, band - 2 * c_rows)
+        pair_ok = (fmax + 1 - fmin) <= 2 * c_rows - 1
+        pcen = jnp.floor(y_pairs.mean(axis=-1)).astype(jnp.int32)
+        rp_start = jnp.where(pair_ok, fmin, pcen - c_rows)
+        rp = jnp.clip(rp_start - r0[..., None], 0, band - 2 * c_rows)
         two = ((fmax + 1) - (r0[..., None] + rp)
                > c_rows - 1).astype(jnp.int32)        # (V, D, T, pairs)
+    return x, y, z, r0, rp, two
+
+
+def _oob_frac_one(x, y, r0, rp, two, valid, band, c_rows, tile_h, pair,
+                  H, W):
+    """Fraction of (view, candidate, pixel) samples whose bilinear
+    footprint needs a source row the kernel's slab(s) do NOT cover — the
+    samples that silently degrade to zero cost (out-of-image semantics)
+    instead of the exact grid_sample value. Exact accounting: a row is
+    "needed" iff it is inside the image AND carries nonzero vertical
+    weight AND the sample has nonzero horizontal weight (x inside
+    (-1, W)); out-of-image rows/columns are zero in both paths."""
+    V, D = x.shape[:2]
+    n_tiles = H // tile_h
+    f32 = jnp.float32
+    if pair:
+        yv = y.reshape(V, D, n_tiles, tile_h // 2, 2, W)
+        xv = x.reshape(V, D, n_tiles, tile_h // 2, 2, W)
+        lo = (r0[..., None] + rp).astype(f32)[..., None, None]
+        hi = lo + (c_rows * (1 + two)).astype(f32)[..., None, None] - 1.0
+    else:
+        yv = y.reshape(V, D, n_tiles, tile_h, W)
+        xv = x.reshape(V, D, n_tiles, tile_h, W)
+        lo = r0.astype(f32)[..., None, None]
+        hi = lo + float(band - 1)
+    ry0 = jnp.floor(yv)
+    w1 = yv - ry0
+
+    def bad(r, wgt):
+        return ((r >= 0.0) & (r <= float(H - 1)) & (wgt > 0.0)
+                & ((r < lo) | (r > hi)))
+
+    oob = bad(ry0, 1.0 - w1) | bad(ry0 + 1.0, w1)
+    oob &= (xv > -1.0) & (xv < float(W))
+    vmask = (valid > 0).reshape((V,) + (1,) * (oob.ndim - 1))
+    oob &= vmask
+    n_valid = jnp.maximum(jnp.sum(valid > 0).astype(f32), 1.0)
+    return jnp.sum(oob).astype(f32) / (n_valid * D * H * W)
+
+
+def _plan_batched(dvol, R, t, K, rays2d, H, W, band, tile_h, pair,
+                  c_rows):
+    """_plan with a leading batch axis on every returned array (rp/two
+    stay None for the full-band kernel)."""
+    B = dvol.shape[0]
+    plans = [_plan(dvol[b], R[b], t[b], K[b], rays2d[b], H, W, band,
+                   tile_h, pair, c_rows) for b in range(B)]
+    return tuple(None if plans[0][i] is None
+                 else jnp.stack([p[i] for p in plans])
+                 for i in range(6))
+
+
+def _fracs_from_plan(plan, is_valid, band, c_rows, tile_h, pair, H, W):
+    """(B,) out-of-band fractions from an already-computed batched plan —
+    the guard reuses the SAME planning tensors the kernel will prefetch,
+    so coverage costs one reduction, not a second projection pass."""
+    x, y, _, r0, rp, two = plan
+    B = x.shape[0]
+    return jnp.stack([
+        _oob_frac_one(x[b], y[b], r0[b],
+                      None if rp is None else rp[b],
+                      None if two is None else two[b],
+                      is_valid[b], band, c_rows, tile_h, pair, H, W)
+        for b in range(B)])
+
+
+def cost_volume_cw_oob_fraction(d_volume, R, t, intM, rays2d, is_valid,
+                                band: int = DEFAULT_BAND,
+                                tile_h: int = DEFAULT_TILE_H,
+                                pair: bool = None,
+                                pair_rows: int = None) -> jnp.ndarray:
+    """Per-batch fraction of samples outside the kernel's row slabs (see
+    _oob_frac_one). Cheap pure-XLA diagnostic computable without running
+    either cost-volume path; 0.0 means the Pallas kernel is exact (up to
+    bf16 weight rounding) for this input."""
+    B, H, W, D = d_volume.shape
+    if pair is None:
+        pair = use_pair_kernel()
+    dvol = jnp.moveaxis(d_volume, -1, 1).astype(jnp.float32)
+    c_rows, band = _slab_params(W, band, pair, pair_rows)
+    plan = _plan_batched(dvol, R, t, intM, rays2d, H, W, band, tile_h,
+                         pair, c_rows)
+    return _fracs_from_plan(plan, is_valid, band, c_rows, tile_h, pair,
+                            H, W)
+
+
+def _cost_volume_batched(dvol, ref_feat, src_feat, src_mu, src_sigma,
+                         R, t, valid, K, rays2d, kappa, band, tile_h,
+                         interpret, pair, pair_rows=None, plan=None):
+    """dvol: (B, D, H, W) f32; ref_feat: (B, H, W, C); src_*: (B, V, ...).
+    Returns (B, D, H, W) f32 = sum over views of weighted matching cost.
+
+    Batch rides the OUTERMOST grid axis (B, tiles, D) — per-step VMEM
+    pressure is identical to the B=1 kernel and B=1 compiles to exactly
+    the round-2 grid; training batches and batched serving no longer
+    fall back to XLA (VERDICT r2 "Next #7")."""
+    B, V = src_feat.shape[:2]
+    D, H, W = dvol.shape[1:]
+    C = ref_feat.shape[-1]
+    f32 = jnp.float32
+    mdt = jnp.bfloat16 if src_feat.dtype == jnp.bfloat16 else f32
+
+    c_rows, band = _slab_params(W, band, pair, pair_rows)
+    if plan is None:
+        plan = _plan_batched(dvol, R, t, K, rays2d, H, W, band, tile_h,
+                             pair, c_rows)
+    x, y, z, r0, rp, two = plan       # leading B on every array
+    n_tiles = H // tile_h
 
     # Packed channels padded to a full 128-lane tile: Mosaic requires the
     # DMA slice's lane dim tile-aligned, and N=128 exactly fills the MXU.
@@ -276,25 +433,26 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
          src_mu.astype(f32)[..., None].astype(mdt),
          src_sigma.astype(f32)[..., None].astype(mdt),
          jnp.zeros(src_mu.shape + (n_pad,), mdt)],
-        axis=-1)                                      # (V, H, W, 128)
-    queries = ref_feat.astype(mdt)                    # (H, W, C)
+        axis=-1)                                      # (B, V, H, W, 128)
+    queries = ref_feat.astype(mdt)                    # (B, H, W, C)
 
     # Grid-invariant weight-column patterns (see _kernel): row index and
     # column index of each contraction column within a chunk.
     j = jnp.arange(c_rows * W)
     rc = jnp.stack([(j // W).astype(f32), (j % W).astype(f32)])
 
-    grid = (n_tiles, D)
+    grid = (B, n_tiles, D)
     coord_spec = pl.BlockSpec(
-        (V, 1, tile_h, W), lambda t_, d_, *_: (0, d_, t_, 0))
+        (1, V, 1, tile_h, W), lambda b, t_, d_, *_: (b, 0, d_, t_, 0))
     in_specs = [
         coord_spec, coord_spec, coord_spec,
-        pl.BlockSpec((tile_h, W, C), lambda t_, d_, *_: (t_, 0, 0)),
+        pl.BlockSpec((1, tile_h, W, C), lambda b, t_, d_, *_:
+                     (b, t_, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.VMEM),        # rc patterns (tiny)
         pl.BlockSpec(memory_space=pltpu.ANY),         # stays in HBM (19MB)
     ]
     out_spec = pl.BlockSpec(
-        (1, tile_h, W), lambda t_, d_, *_: (d_, t_, 0))
+        (1, 1, tile_h, W), lambda b, t_, d_, *_: (b, d_, t_, 0))
     scratch = [
         pltpu.VMEM((V, band, W, 128), mdt),
         pltpu.SemaphoreType.DMA((V,)),
@@ -322,7 +480,7 @@ def _cost_volume_one_batch(dvol, ref_feat, src_feat, src_mu, src_sigma,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D, H, W), f32),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, W), f32),
         interpret=interpret,
     )(*args)
 
@@ -348,20 +506,121 @@ def cost_volume_cw_pallas(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
                           kappa: float, band: int = DEFAULT_BAND,
                           tile_h: int = DEFAULT_TILE_H,
                           interpret: bool = False,
-                          pair: bool = None) -> jnp.ndarray:
+                          pair: bool = None,
+                          pair_rows: int = None,
+                          plan=None) -> jnp.ndarray:
     """Drop-in for ``ops.costvolume.cost_volume_cw`` (same contract:
-    NHWC d_volume (B, H, W, D) in, (B, H, W, D) out, mean over V)."""
+    NHWC d_volume (B, H, W, D) in, (B, H, W, D) out, mean over V).
+    ``plan`` optionally reuses a _plan_batched result (guard dispatch)."""
     B, H, W, D = d_volume.shape
     V = src_feat.shape[1]
     if pair is None:
         pair = use_pair_kernel()
     dvol = jnp.moveaxis(d_volume, -1, 1).astype(jnp.float32)
+    cost = _cost_volume_batched(
+        dvol, ref_feat, src_feat, src_mu, src_sigma, R, t, is_valid,
+        intM, rays2d, kappa, band, tile_h, interpret, pair, pair_rows,
+        plan)
+    return jnp.moveaxis(cost / float(V), 1, -1)
 
-    outs = []
-    for b in range(B):
-        outs.append(_cost_volume_one_batch(
-            dvol[b], ref_feat[b], src_feat[b], src_mu[b], src_sigma[b],
-            R[b], t[b], is_valid[b], intM[b], rays2d[b], kappa,
-            band, tile_h, interpret, pair))
-    cost = jnp.stack(outs) / float(V)                 # (B, D, H, W)
-    return jnp.moveaxis(cost, 1, -1)
+
+def cost_volume_cw_pallas_guarded(d_volume: jnp.ndarray,
+                                  ref_feat: jnp.ndarray,
+                                  src_feat: jnp.ndarray,
+                                  src_mu: jnp.ndarray,
+                                  src_sigma: jnp.ndarray, R: jnp.ndarray,
+                                  t: jnp.ndarray, is_valid: jnp.ndarray,
+                                  intM: jnp.ndarray, rays2d: jnp.ndarray,
+                                  kappa: float, xla_fn, tol: float,
+                                  band: int = DEFAULT_BAND,
+                                  tile_h: int = DEFAULT_TILE_H,
+                                  interpret: bool = False,
+                                  pair: bool = None) -> jnp.ndarray:
+    """Fail-safe kernel dispatch: run the Pallas kernel only when the
+    out-of-band sample fraction (cost_volume_cw_oob_fraction) is within
+    ``tol``; otherwise execute ``xla_fn`` (the exact XLA gather path) via
+    lax.cond — no host sync, one branch executes at runtime. This bounds
+    the band-locality approximation: frames whose camera motion / candidate
+    spread exceed the slab budget get reference-exact results instead of
+    silently degraded costs."""
+    if pair is None:
+        pair = use_pair_kernel()
+    B, H, W, D = d_volume.shape
+    dvol = jnp.moveaxis(d_volume, -1, 1).astype(jnp.float32)
+    c_rows, bandw = _slab_params(W, band, pair)
+    plan = _plan_batched(dvol, R, t, intM, rays2d, H, W, bandw, tile_h,
+                         pair, c_rows)
+    frac = _fracs_from_plan(plan, is_valid, bandw, c_rows, tile_h, pair,
+                            H, W)
+    ok = jnp.all(frac <= tol)
+    args = (d_volume, ref_feat, src_feat, src_mu, src_sigma, R, t,
+            is_valid, intM, rays2d)
+
+    def pallas_branch(a):
+        return cost_volume_cw_pallas(*a, kappa, band=band, tile_h=tile_h,
+                                     interpret=interpret, pair=pair,
+                                     plan=plan)
+
+    def xla_branch(a):
+        return xla_fn(*a, kappa)
+
+    return jax.lax.cond(ok, pallas_branch, xla_branch, args)
+
+
+def cost_volume_cw_pallas_ladder(d_volume: jnp.ndarray,
+                                 ref_feat: jnp.ndarray,
+                                 src_feat: jnp.ndarray,
+                                 src_mu: jnp.ndarray,
+                                 src_sigma: jnp.ndarray, R: jnp.ndarray,
+                                 t: jnp.ndarray, is_valid: jnp.ndarray,
+                                 intM: jnp.ndarray, rays2d: jnp.ndarray,
+                                 kappa: float, xla_fn, tol: float,
+                                 steps=((True, DEFAULT_BAND),
+                                        (False, 2 * DEFAULT_BAND)),
+                                 tile_h: int = DEFAULT_TILE_H,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Escalating fail-safe dispatch: per frame, run the CHEAPEST kernel
+    variant whose slab coverage is exact (out-of-band fraction <= tol),
+    falling through ``steps`` — each a (pair, band) kernel config, by
+    convention cheapest first — and finally to the exact XLA path. The
+    coverage checks are pure-XLA planning reductions (no kernel run, no
+    host sync); lax.cond executes exactly one branch at runtime.
+
+    Rationale (scripts/cv_motion_sweep.py): the pair kernel is ~2x
+    cheaper but leaks at realistic parallax; the full-band kernel at
+    band=32 is exact in nearly every measured regime (KITTI highway ~0,
+    ScanNet slow 0) at ~2x the pair cost; XLA is always exact. Static
+    eval scenes ride the fast path, hard frames stay correct.
+
+    Cost shape: rung i's plan (one projection pass) feeds BOTH its
+    coverage check and, via ``plan=``, its kernel call — and rung i+1's
+    plan is built inside rung i's fallback branch, so the in-band steady
+    state pays exactly one plan + one cheap reduction over it."""
+    B, H, W, D = d_volume.shape
+    dvol = jnp.moveaxis(d_volume, -1, 1).astype(jnp.float32)
+    args = (d_volume, ref_feat, src_feat, src_mu, src_sigma, R, t,
+            is_valid, intM, rays2d)
+
+    def make(i):
+        if i == len(steps):
+            return lambda a: xla_fn(*a, kappa)
+        p, b = steps[i]
+
+        def dispatch(a, i=i, p=p, b=b):
+            c_rows, bandw = _slab_params(W, b, p)
+            plan = _plan_batched(dvol, R, t, intM, rays2d, H, W, bandw,
+                                 tile_h, p, c_rows)
+            frac = _fracs_from_plan(plan, is_valid, bandw, c_rows,
+                                    tile_h, p, H, W)
+
+            def branch(a2, p=p, b=b, plan=plan):
+                return cost_volume_cw_pallas(*a2, kappa, band=b,
+                                             tile_h=tile_h,
+                                             interpret=interpret, pair=p,
+                                             plan=plan)
+
+            return jax.lax.cond(jnp.all(frac <= tol), branch,
+                                make(i + 1), a)
+        return dispatch
+
+    return make(0)(args)

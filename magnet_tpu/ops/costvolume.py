@@ -48,6 +48,27 @@ def _use_pallas_cv() -> bool:
         return env == "1"
     return jax.default_backend() == "tpu"
 
+
+# Default out-of-band sample tolerance for the kernel guard: the Pallas
+# kernel is exact at fraction 0 (in-band regimes measure exactly 0.0, see
+# scripts/cv_motion_sweep.py); degraded samples lose cost toward zero —
+# the same direction as leaving the frame — so a <=0.1% sample fraction is
+# bounded well inside the consistency-mask noise floor while avoiding
+# whole-frame fallback on a handful of edge pixels.
+_CV_GUARD_DEFAULT_TOL = 1e-3
+
+
+def _cv_guard_tol():
+    """MAGNET_TPU_CV_GUARD: '0'/'off' disables the guard (kernel always
+    runs, round-2 behavior); a float sets the out-of-band sample tolerance;
+    default 1e-3. Returns None when disabled."""
+    env = os.environ.get("MAGNET_TPU_CV_GUARD", "").strip().lower()
+    if env in ("0", "off", "false"):
+        return None
+    if not env or env in ("1", "on", "true"):
+        return _CV_GUARD_DEFAULT_TOL
+    return float(env)
+
 _EPS_DIV = 1e-10
 _COORD_CLIP = 10.0
 # Projective geometry must not run through the MXU's bf16 truncation —
@@ -195,18 +216,53 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
     divides by the static view count, homography.py:120).
     """
     B, H, W, D = d_volume.shape
-    V = src_feat.shape[1]
 
-    # B == 1 only: the kernel unrolls the batch in python, which under a
-    # batch-sharded pjit would turn into cross-shard slicing; eval protocol
-    # is batch 1 (test_MaGNet.py:36) and training keeps the XLA path.
-    if B == 1 and _use_pallas_cv():
+    # The kernel grid carries the batch axis (B, tiles, D), so any B is
+    # supported. Engagement policy: B == 1 (the eval/serving protocol,
+    # test_MaGNet.py:36 — and the per-device shape under the multi-stream
+    # shard_map) always; B > 1 via MAGNET_TPU_PALLAS_CV_BATCH=1 —
+    # default-off because a pallas_call inside an XLA-auto-sharded train
+    # step would force its operands replicated (single-chip training and
+    # explicitly shard_mapped steps are where the opt-in is safe).
+    batch_ok = (B == 1 or os.environ.get(
+        "MAGNET_TPU_PALLAS_CV_BATCH", "") == "1")
+    if batch_ok and _use_pallas_cv():
         from magnet_tpu.kernels import costvolume_pallas as cvp
-        if cvp.supported(d_volume, H, W):
-            return cvp.cost_volume_cw_pallas(
-                d_volume, ref_feat, src_feat, src_mu, src_sigma, R, t,
-                is_valid, intM, rays2d, kappa)
+        # MAGNET_TPU_CV_BAND widens the first rung's row-slab budget
+        # (VMEM permitting) for high-parallax regimes; MAGNET_TPU_CV_PAIR
+        # picks its kernel variant (see use_pair_kernel).
+        band = int(os.environ.get("MAGNET_TPU_CV_BAND",
+                                  cvp.DEFAULT_BAND))
+        if cvp.supported(d_volume, H, W, band=band):
+            args = (d_volume, ref_feat, src_feat, src_mu, src_sigma, R, t,
+                    is_valid, intM, rays2d, kappa)
+            tol = _cv_guard_tol()
+            pair = cvp.use_pair_kernel()
+            if tol is None:
+                return cvp.cost_volume_cw_pallas(*args, band=band,
+                                                 pair=pair)
+            # Escalation ladder: cheapest exact variant per frame —
+            # pair(band) -> full-band(2*band, measured exact in nearly
+            # all realistic regimes, scripts/cv_motion_sweep.py) -> XLA.
+            steps = [(pair, band)]
+            wide = (False, max(32, 2 * band))
+            if wide != steps[0] and H >= wide[1]:
+                steps.append(wide)
+            return cvp.cost_volume_cw_pallas_ladder(
+                *args, xla_fn=_cost_volume_cw_xla, tol=tol,
+                steps=tuple(steps))
 
+    return _cost_volume_cw_xla(d_volume, ref_feat, src_feat, src_mu,
+                               src_sigma, R, t, is_valid, intM, rays2d,
+                               kappa)
+
+
+def _cost_volume_cw_xla(d_volume, ref_feat, src_feat, src_mu, src_sigma,
+                        R, t, is_valid, intM, rays2d, kappa):
+    """The exact XLA corner-gather path (reference semantics); also the
+    guard's fallback branch."""
+    B, H, W, D = d_volume.shape
+    V = src_feat.shape[1]
     f32 = jnp.float32
     # Features match in bf16 when the backbone runs in bf16; geometry and
     # the consistency check always stay f32.

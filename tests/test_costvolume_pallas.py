@@ -12,9 +12,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from magnet_tpu.kernels.costvolume_pallas import (cost_volume_cw_pallas,
-                                                  supported)
-from magnet_tpu.ops.costvolume import cost_volume_cw
+from magnet_tpu.kernels.costvolume_pallas import (
+    cost_volume_cw_oob_fraction, cost_volume_cw_pallas,
+    cost_volume_cw_pallas_guarded, cost_volume_cw_pallas_ladder,
+    supported)
+from magnet_tpu.ops.costvolume import _cost_volume_cw_xla, cost_volume_cw
 
 
 def _inputs(B=2, V=3, H=24, W=32, C=8, D=5, seed=0, motion=0.03):
@@ -104,3 +106,105 @@ def test_supported_gate():
     assert supported(None, 88, 304)
     assert not supported(None, 12, 160)     # < band
     assert not supported(None, 121, 160)    # not tile-divisible
+
+
+# ---- band-locality guard: degraded regime + fail-safe fallback --------
+#
+# A large in-plane roll makes the sampled source row sweep ~sin(roll) * W
+# rows across each row-tile — far beyond the slab budget (band - 1 = 15
+# rows; 2*c_rows - 2 = 6 for the pair kernel) — which is exactly the
+# regime VERDICT r2 flagged as unvalidated: the kernel silently degrades
+# out-of-slab samples to zero cost, diverging from homography.py:143-152.
+
+
+def _degraded_inputs(B=1, V=2, H=24, W=64, C=8, D=5, seed=4, roll=0.6):
+    args = list(_inputs(B=B, V=V, H=H, W=W, C=C, D=D, seed=seed,
+                        motion=0.0))
+    c, s = np.cos(roll), np.sin(roll)
+    Rr = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    args[5] = jnp.asarray(np.tile(Rr, (B, V, 1, 1)))
+    args[7] = jnp.ones((B, V), jnp.float32)
+    return args
+
+
+def _oob(args, pair):
+    return np.asarray(cost_volume_cw_oob_fraction(
+        args[0], args[5], args[6], args[8], args[9], args[7], pair=pair))
+
+
+@pytest.mark.parametrize("pair", [False, True])
+def test_oob_fraction_detects_degraded_regime(pair):
+    args = _degraded_inputs()
+    frac = _oob(args, pair)
+    assert frac.max() > 1e-2, frac
+    # and the kernel really does deviate from the exact path here
+    xla = np.asarray(cost_volume_cw(*args, 5.0))
+    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True,
+                                           pair=pair))
+    assert np.abs(pal - xla).max() > 1e-3
+
+
+@pytest.mark.parametrize("pair", [False, True])
+def test_oob_fraction_zero_in_band(pair):
+    args = _inputs()
+    assert _oob(args, pair).max() == 0.0
+
+
+@pytest.mark.parametrize("pair", [False, True])
+def test_guarded_falls_back_to_exact_xla(pair):
+    args = _degraded_inputs()
+    xla = np.asarray(cost_volume_cw(*args, 5.0))
+    guarded = np.asarray(cost_volume_cw_pallas_guarded(
+        *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, interpret=True,
+        pair=pair))
+    np.testing.assert_allclose(guarded, xla, atol=1e-4)
+
+
+@pytest.mark.parametrize("pair", [False, True])
+def test_guarded_keeps_kernel_in_band(pair):
+    args = _inputs()
+    pal = np.asarray(cost_volume_cw_pallas(*args, 5.0, interpret=True,
+                                           pair=pair))
+    guarded = np.asarray(cost_volume_cw_pallas_guarded(
+        *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, interpret=True,
+        pair=pair))
+    np.testing.assert_allclose(guarded, pal, atol=1e-4)
+
+
+def _oob_band(args, pair, band):
+    return float(cost_volume_cw_oob_fraction(
+        args[0], args[5], args[6], args[8], args[9], args[7], band=band,
+        pair=pair).max())
+
+
+def _ladder(args, **kw):
+    return np.asarray(cost_volume_cw_pallas_ladder(
+        *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3,
+        steps=((True, 16), (False, 32)), interpret=True, **kw))
+
+
+def test_ladder_escalates_to_wider_band():
+    """Moderate roll: pair/band-16 coverage leaks, band-32 stays exact —
+    the ladder must pick the band-32 kernel, not XLA."""
+    args = _degraded_inputs(H=40, roll=0.3)
+    assert _oob_band(args, True, 16) > 1e-3
+    assert _oob_band(args, False, 32) <= 1e-3
+    want = np.asarray(cost_volume_cw_pallas(*args, 5.0, band=32,
+                                            pair=False, interpret=True))
+    np.testing.assert_allclose(_ladder(args), want, atol=1e-4)
+
+
+def test_ladder_final_fallback_is_xla():
+    """Extreme roll exceeds every slab budget: ladder must produce the
+    exact XLA result."""
+    args = _degraded_inputs(H=40, roll=0.9)
+    assert _oob_band(args, False, 32) > 1e-3
+    want = np.asarray(cost_volume_cw(*args, 5.0))
+    np.testing.assert_allclose(_ladder(args), want, atol=1e-4)
+
+
+def test_ladder_fast_path_in_band():
+    args = _inputs(B=1, H=40)   # H >= the widest ladder band (32)
+    want = np.asarray(cost_volume_cw_pallas(*args, 5.0, band=16,
+                                            pair=True, interpret=True))
+    np.testing.assert_allclose(_ladder(args), want, atol=1e-4)
