@@ -111,6 +111,39 @@ def make_fnet_train_step(model, tx, d_center, max_depth: float,
     return step
 
 
+def magnet_batch_loss(model, params, batch_stats, batch, gamma: float,
+                      max_depth: float, min_depth: float, n_iters: int,
+                      compute_dtype=jnp.float32):
+    """The MaGNet-stage training loss of one batch (GT clamp + forward +
+    gamma-weighted NLL) — the single source of truth shared by the train
+    step and the dryrun's sharded-vs-single equivalence check."""
+    gt = batch["depth"]
+    gt = jnp.where(gt > max_depth, 0.0, gt)
+    mask = gt > min_depth
+    cparams = cast_floating(params, compute_dtype)
+    preds = model.apply(
+        {"params": cparams, "batch_stats": batch_stats},
+        batch["ref_img"].astype(compute_dtype),
+        batch["src_imgs"].astype(compute_dtype), batch["R"],
+        batch["t"], batch["is_valid"], batch["intM"],
+        batch["rays2d"], train=True, n_iters=n_iters)
+    return losses.magnet_loss(preds, gt, mask, gamma)
+
+
+def make_magnet_loss_fn(model, gamma: float, max_depth: float,
+                        min_depth: float, n_iters: int,
+                        compute_dtype=jnp.float32):
+    """Jitted forward-only batch loss (no grads/optimizer): cheap to
+    compile, numerically identical to the loss the train step reports."""
+
+    @jax.jit
+    def loss_fn(params, batch_stats, batch):
+        return magnet_batch_loss(model, params, batch_stats, batch,
+                                 gamma, max_depth, min_depth, n_iters,
+                                 compute_dtype)
+    return loss_fn
+
+
 def make_magnet_train_step(model, tx, gamma: float, max_depth: float,
                            min_depth: float, n_iters: int,
                            compute_dtype=jnp.float32):
@@ -121,19 +154,10 @@ def make_magnet_train_step(model, tx, gamma: float, max_depth: float,
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch):
-        gt = batch["depth"]
-        gt = jnp.where(gt > max_depth, 0.0, gt)
-        mask = gt > min_depth
-
         def loss_fn(params):
-            cparams = cast_floating(params, compute_dtype)
-            preds = model.apply(
-                {"params": cparams, "batch_stats": state.batch_stats},
-                batch["ref_img"].astype(compute_dtype),
-                batch["src_imgs"].astype(compute_dtype), batch["R"],
-                batch["t"], batch["is_valid"], batch["intM"],
-                batch["rays2d"], train=True, n_iters=n_iters)
-            return losses.magnet_loss(preds, gt, mask, gamma)
+            return magnet_batch_loss(model, params, state.batch_stats,
+                                     batch, gamma, max_depth, min_depth,
+                                     n_iters, compute_dtype)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = _apply_updates(state, grads, tx)
