@@ -30,6 +30,11 @@ _VAL_MODES = {"scannet": "long_test", "kitti_eigen": "eigen_test",
 
 def main():
     from magnet_tpu.core.cache import enable_compilation_cache
+    from magnet_tpu.core.distributed import maybe_initialize_distributed
+    # Multi-host SPMD (no-op unless MAGNET_TPU_DIST=1): must run before
+    # any jax.devices() use so the mesh spans every host's chips and the
+    # loaders' process_index epoch sharding sees the true process count.
+    maybe_initialize_distributed()
     enable_compilation_cache()
     args = config.parse_args(config.build_train_dnet_parser())
     args = config.setup_exp_dirs(args, kind="train")

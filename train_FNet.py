@@ -42,6 +42,11 @@ def _batch_to_device(mesh, batch, dpv_hw):
 
 def main():
     from magnet_tpu.core.cache import enable_compilation_cache
+    from magnet_tpu.core.distributed import maybe_initialize_distributed
+    # Multi-host SPMD (no-op unless MAGNET_TPU_DIST=1): must run before
+    # any jax.devices() use so the mesh spans every host's chips and the
+    # loaders' process_index epoch sharding sees the true process count.
+    maybe_initialize_distributed()
     enable_compilation_cache()
     args = config.parse_args(config.build_train_fnet_parser())
     args = config.setup_exp_dirs(args, kind="train")
