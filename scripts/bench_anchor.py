@@ -19,6 +19,17 @@ bare 5 fps assumption; this script replaces it with a measurement chain:
               on the reference's GPU throughput — i.e. the anchor most
               generous to the reference and hardest on us.
 
+    cross-check: the pipeline is not pure-FLOP, so the scaling ratio is
+              bracketed from the other side by the MEMORY-BANDWIDTH
+              ratio: V100 HBM2 = 900 GB/s vs this container's MEASURED
+              achievable bandwidth (numpy add-triad, min-traffic
+              counting: 12 B/elem). A workload's true GPU speedup lies
+              between the bandwidth ratio (if 100% bandwidth-bound) and
+              the FLOP ratio (if 100% FLOP-bound); taking the LARGER of
+              the two keeps the anchor an upper bound whichever regime
+              dominates. Run with --bandwidth-only to refresh just this
+              measurement (the torch run takes ~3 min/frame).
+
 Writes bench_anchor.json {ref_cpu_fps, gpu_speedup, ref_gpu_fps, ...} at
 the repo root, which bench.py consumes (falling back to the documented
 constant when absent).
@@ -39,6 +50,7 @@ import types
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 GPU_SPEEDUP = 234.0   # V100 fp32 peak / single-Xeon-core AVX2 peak
+V100_HBM_GBPS = 900.0  # V100 HBM2 peak
 
 sys.path.insert(0, os.path.join(ROOT, "tests"))
 sys.path.insert(0, ROOT)
@@ -70,6 +82,36 @@ def build_reference_magnet():
     model = M.MAGNET(args)
     model.eval()
     return model
+
+
+def measure_bandwidth_gbps(n: int = 200_000_000, reps: int = 5) -> float:
+    """Achievable CPU memory bandwidth: numpy add-triad a = b + c over
+    800 MB arrays (far past LLC), counting the minimum 12 bytes/element
+    of traffic (read b, read c, write a; write-allocate ignored, which
+    errs HIGH — i.e. against us, keeping the anchor generous)."""
+    import numpy as np
+    b = np.ones(n, np.float32)
+    c = np.ones(n, np.float32)
+    a = np.empty(n, np.float32)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.add(b, c, out=a)
+        best = max(best, 12e-9 * n / (time.perf_counter() - t0))
+    return best
+
+
+def bandwidth_fields() -> dict:
+    bw = measure_bandwidth_gbps()
+    return {
+        "cpu_bandwidth_gbps": round(bw, 1),
+        "bandwidth_speedup": round(V100_HBM_GBPS / bw, 1),
+        "bandwidth_crosscheck": (
+            f"V100 900 GB/s / measured {bw:.1f} GB/s = "
+            f"{V100_HBM_GBPS / bw:.0f}x; below the {GPU_SPEEDUP:.0f}x "
+            "FLOP ratio, so the FLOP ratio is the upper bound whichever "
+            "regime (FLOP- or bandwidth-bound) dominates"),
+    }
 
 
 def main(n_frames: int = 3):
@@ -117,11 +159,27 @@ def main(n_frames: int = 3):
                   "satisfied offline by the oracle B5 trunk; min of "
                   f"{n_frames} frames after 1 warmup",
     }
+    out.update(bandwidth_fields())
     path = os.path.join(ROOT, "bench_anchor.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 
+def bandwidth_only():
+    """Refresh only the bandwidth cross-check fields in the existing
+    bench_anchor.json (the torch anchor run is ~3 min)."""
+    path = os.path.join(ROOT, "bench_anchor.json")
+    with open(path) as f:
+        out = json.load(f)
+    out.update(bandwidth_fields())
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--bandwidth-only" in sys.argv:
+        bandwidth_only()
+    else:
+        main()
