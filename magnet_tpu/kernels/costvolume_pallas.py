@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -241,7 +242,11 @@ def _pair_rows(W: int) -> int:
     (2, W, 2*c_rows*W) stays ~1.6 MB (ScanNet W=160 and below), 4 rows at
     KITTI widths (W=304 would need 5.9 MB, past the scoped-VMEM budget).
     c_rows*W must stay a 128-multiple for full MXU passes — both 4*160
-    and 8*160 are."""
+    and 8*160 are. MAGNET_TPU_CV_PAIR_ROWS overrides (perf experiments;
+    the production ladder picks rows per rung explicitly)."""
+    env = os.environ.get("MAGNET_TPU_CV_PAIR_ROWS", "")
+    if env:
+        return int(env)
     return 8 if W <= 160 else 4
 
 
@@ -575,14 +580,15 @@ def cost_volume_cw_pallas_ladder(d_volume: jnp.ndarray,
                                  t: jnp.ndarray, is_valid: jnp.ndarray,
                                  intM: jnp.ndarray, rays2d: jnp.ndarray,
                                  kappa: float, xla_fn, tol: float,
-                                 steps=((True, DEFAULT_BAND),
-                                        (False, 2 * DEFAULT_BAND)),
+                                 steps=((True, DEFAULT_BAND, None),
+                                        (False, 2 * DEFAULT_BAND, None)),
                                  tile_h: int = DEFAULT_TILE_H,
                                  interpret: bool = False) -> jnp.ndarray:
     """Escalating fail-safe dispatch: per frame, run the CHEAPEST kernel
     variant whose slab coverage is exact (out-of-band fraction <= tol),
-    falling through ``steps`` — each a (pair, band) kernel config, by
-    convention cheapest first — and finally to the exact XLA path. The
+    falling through ``steps`` — each a (pair, band, pair_rows) kernel
+    config, by convention cheapest first — and finally to the exact XLA
+    path (2-tuples are accepted; pair_rows then defaults per width). The
     coverage checks are pure-XLA planning reductions (no kernel run, no
     host sync); lax.cond executes exactly one branch at runtime.
 
@@ -604,20 +610,20 @@ def cost_volume_cw_pallas_ladder(d_volume: jnp.ndarray,
     def make(i):
         if i == len(steps):
             return lambda a: xla_fn(*a, kappa)
-        p, b = steps[i]
+        p, b, rows = (tuple(steps[i]) + (None,))[:3]
 
-        def dispatch(a, i=i, p=p, b=b):
-            c_rows, bandw = _slab_params(W, b, p)
+        def dispatch(a, i=i, p=p, b=b, rows=rows):
+            c_rows, bandw = _slab_params(W, b, p, rows)
             plan = _plan_batched(dvol, R, t, intM, rays2d, H, W, bandw,
                                  tile_h, p, c_rows)
             frac = _fracs_from_plan(plan, is_valid, bandw, c_rows,
                                     tile_h, p, H, W)
 
-            def branch(a2, p=p, b=b, plan=plan):
+            def branch(a2, p=p, b=b, rows=rows, plan=plan):
                 return cost_volume_cw_pallas(*a2, kappa, band=b,
                                              tile_h=tile_h,
                                              interpret=interpret, pair=p,
-                                             plan=plan)
+                                             pair_rows=rows, plan=plan)
 
             return jax.lax.cond(jnp.all(frac <= tol), branch,
                                 make(i + 1), a)

@@ -242,11 +242,18 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
                 return cvp.cost_volume_cw_pallas(*args, band=band,
                                                  pair=pair)
             # Escalation ladder: cheapest exact variant per frame —
-            # pair(band) -> full-band(2*band, measured exact in nearly
-            # all realistic regimes, scripts/cv_motion_sweep.py) -> XLA.
-            steps = [(pair, band)]
-            wide = (False, max(32, 2 * band))
-            if wide != steps[0] and H >= wide[1]:
+            # narrow pair(band) -> full-band(2*band, measured exact in
+            # nearly all realistic regimes, scripts/cv_motion_sweep.py)
+            # -> XLA. Rung 1 uses the NARROW 4-row pair slab: it is ~2x
+            # cheaper than the 8-row variant and coverage only decides
+            # which rung runs, never correctness — static/slow frames
+            # (the serving steady state) ride it, frames it cannot cover
+            # exactly escalate.
+            rows1 = (int(os.environ.get("MAGNET_TPU_CV_PAIR_ROWS", "4"))
+                     if pair else None)
+            steps = [(pair, band, rows1)]
+            wide = (False, max(32, 2 * band), None)
+            if (wide[:2] != steps[0][:2]) and H >= wide[1]:
                 steps.append(wide)
             return cvp.cost_volume_cw_pallas_ladder(
                 *args, xla_fn=_cost_volume_cw_xla, tol=tol,

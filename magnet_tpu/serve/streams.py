@@ -44,10 +44,18 @@ def make_multistream_forward(model, mesh=None, n_iters: int = 3):
         return model.apply(cvars, ref, src, R, t, valid, K, rays,
                            train=False, n_iters=n_iters)[-1]
 
+    # check_vma=False: the body contains pallas_calls (cost volume,
+    # G-Net, heads engage at the local B=1 shape on TPU), whose
+    # out_shape ShapeDtypeStructs carry no varying-mesh-axes annotation
+    # — jax's default vma check rejects that, yet the property it
+    # guards (no unintended cross-device variance) is vacuous here:
+    # the program has no collectives at all, which tests/test_streams.py
+    # asserts directly on the compiled HLO. (Caught on the real chip:
+    # the CPU-mesh tests never engage Pallas, so only TPU hits this.)
     shmap = jax.shard_map(
         per_stream, mesh=mesh,
         in_specs=(P(), spec, spec, spec, spec, spec, spec, spec),
-        out_specs=spec)
+        out_specs=spec, check_vma=False)
 
     @jax.jit
     def forward(cvars, ref, src, R, t, valid, K, rays):

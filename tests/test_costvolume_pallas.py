@@ -208,3 +208,30 @@ def test_ladder_fast_path_in_band():
     want = np.asarray(cost_volume_cw_pallas(*args, 5.0, band=16,
                                             pair=True, interpret=True))
     np.testing.assert_allclose(_ladder(args), want, atol=1e-4)
+
+
+_NARROW = ((True, 16, 4), (False, 32))   # production eval rung shape:
+                                         # narrow 4-row pair slab first
+                                         # (ops/costvolume.py), mixed
+                                         # 3-/2-tuple steps
+
+
+def test_ladder_narrow_pair_rows_in_band():
+    """In-band frames ride the cheap narrow-slab rung and stay exact."""
+    args = _inputs(B=1, H=40)
+    want = np.asarray(cost_volume_cw(*args, 5.0))
+    got = np.asarray(cost_volume_cw_pallas_ladder(
+        *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, steps=_NARROW,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_ladder_narrow_pair_rows_escalates():
+    """A roll that leaks the 4-row pair slab must escalate (to band-32
+    or XLA) and still produce the exact result."""
+    args = _degraded_inputs(H=40, roll=0.3)
+    want = np.asarray(cost_volume_cw(*args, 5.0))
+    got = np.asarray(cost_volume_cw_pallas_ladder(
+        *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, steps=_NARROW,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
