@@ -69,6 +69,33 @@ def _cv_guard_tol():
         return _CV_GUARD_DEFAULT_TOL
     return float(env)
 
+# Caller-declared safety of the batched (B > 1) Pallas kernel; see the
+# engagement policy in cost_volume_cw. MAGNET_TPU_PALLAS_CV_BATCH, when
+# set, wins over this flag.
+_BATCHED_KERNEL_DEFAULT = False
+
+
+def set_batched_kernel_default(on: bool) -> None:
+    """Declare whether the batched (B > 1) Pallas cost volume may engage
+    by default. Train entry points call this with `mesh.size == 1`: on a
+    single-device mesh the GSPMD-replication concern is vacuous and the
+    kernel is a measured +21% on the MaGNet train step."""
+    global _BATCHED_KERNEL_DEFAULT
+    _BATCHED_KERNEL_DEFAULT = bool(on)
+
+
+def _batched_kernel_ok(B: int) -> bool:
+    """Gate for engaging the Pallas kernel at this batch size (see the
+    engagement-policy comment in cost_volume_cw). Env wins over the
+    caller-declared default."""
+    if B == 1:
+        return True
+    env = os.environ.get("MAGNET_TPU_PALLAS_CV_BATCH", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return _BATCHED_KERNEL_DEFAULT
+
+
 _EPS_DIV = 1e-10
 _COORD_CLIP = 10.0
 # Projective geometry must not run through the MXU's bf16 truncation —
@@ -220,12 +247,15 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
     # The kernel grid carries the batch axis (B, tiles, D), so any B is
     # supported. Engagement policy: B == 1 (the eval/serving protocol,
     # test_MaGNet.py:36 — and the per-device shape under the multi-stream
-    # shard_map) always; B > 1 via MAGNET_TPU_PALLAS_CV_BATCH=1 —
-    # default-off because a pallas_call inside an XLA-auto-sharded train
-    # step would force its operands replicated (single-chip training and
-    # explicitly shard_mapped steps are where the opt-in is safe).
-    batch_ok = (B == 1 or os.environ.get(
-        "MAGNET_TPU_PALLAS_CV_BATCH", "") == "1")
+    # shard_map) always; B > 1 when the caller has declared it safe via
+    # set_batched_kernel_default (train entry points do, when their mesh
+    # is single-device: +21% train step, 26.9 -> 32.5 samples/s/chip at
+    # batch 2, scripts/bench_train.py) or MAGNET_TPU_PALLAS_CV_BATCH=1.
+    # Default-off otherwise because a pallas_call inside an
+    # XLA-auto-sharded (GSPMD) train step would force its operands
+    # replicated across the mesh — explicitly shard_mapped callers see
+    # per-shard B == 1 and never reach this branch.
+    batch_ok = _batched_kernel_ok(B)
     if batch_ok and _use_pallas_cv():
         from magnet_tpu.kernels import costvolume_pallas as cvp
         # MAGNET_TPU_CV_BAND widens the first rung's row-slab budget

@@ -66,7 +66,14 @@ def _tame_gnet(variables):
 def main():
     from bench import example_variables, example_inputs
     from magnet_tpu.models.magnet import Magnet
+    from magnet_tpu.ops import costvolume
     from magnet_tpu.train import optim, steps
+
+    # Single-chip benchmark: the batched Pallas cost volume is safe and
+    # is the production default at mesh size 1 (train_MaGNet.py). A/B at
+    # the ScanNet shape: 26.87 off -> 32.54 samples/s/chip on (+21%);
+    # MAGNET_TPU_PALLAS_CV_BATCH=0 reproduces the off leg.
+    costvolume.set_batched_kernel_default(True)
 
     model = Magnet(n_iters=3)
     variables = _tame_gnet(example_variables(

@@ -235,3 +235,30 @@ def test_ladder_narrow_pair_rows_escalates():
         *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, steps=_NARROW,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_batched_kernel_gate():
+    """Engagement policy for B > 1 (cost_volume_cw): caller-declared
+    default (train entries set it from mesh.size) with env override."""
+    import os
+    from magnet_tpu.ops import costvolume as cvmod
+
+    saved_flag = cvmod._BATCHED_KERNEL_DEFAULT
+    saved_env = os.environ.pop("MAGNET_TPU_PALLAS_CV_BATCH", None)
+    try:
+        assert cvmod._batched_kernel_ok(1)          # B == 1 always
+        cvmod.set_batched_kernel_default(False)
+        assert not cvmod._batched_kernel_ok(2)
+        cvmod.set_batched_kernel_default(True)      # single-device mesh
+        assert cvmod._batched_kernel_ok(2)
+        os.environ["MAGNET_TPU_PALLAS_CV_BATCH"] = "0"   # env wins
+        assert not cvmod._batched_kernel_ok(2)
+        cvmod.set_batched_kernel_default(False)
+        os.environ["MAGNET_TPU_PALLAS_CV_BATCH"] = "1"
+        assert cvmod._batched_kernel_ok(2)
+    finally:
+        cvmod.set_batched_kernel_default(saved_flag)
+        if saved_env is None:
+            os.environ.pop("MAGNET_TPU_PALLAS_CV_BATCH", None)
+        else:
+            os.environ["MAGNET_TPU_PALLAS_CV_BATCH"] = saved_env

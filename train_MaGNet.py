@@ -46,6 +46,12 @@ def main():
     config.save_args(args, f"{args.exp_log_dir}/params.txt")
 
     mesh = mesh_lib.mesh_from_args(args)
+    # Single-device training may run the batched Pallas cost volume
+    # inside the jitted step (+21% step throughput, scripts/bench_train.py);
+    # on a multi-device GSPMD mesh it would force replication, so only
+    # declare it safe when the mesh is one device.
+    from magnet_tpu.ops import costvolume
+    costvolume.set_batched_kernel_default(mesh.size == 1)
     train_loader = make_multiview_loader(args,
                                          _TRAIN_MODES[args.dataset_name])
     val_loader = make_multiview_loader(args, _VAL_MODES[args.dataset_name])
