@@ -168,15 +168,37 @@ def translate_adabins_encoder(parts: Tuple[str, ...]) -> str:
     raise KeyError(f"not an encoder path {parts}")
 
 
+def translate_hub_encoder(parts: Tuple[str, ...]) -> str:
+    """Bare torch.hub ``tf_efficientnet_b5_ap`` (ImageNet-pretrained)
+    state dict — the source of the reference encoder's ``pretrained=True``
+    construction (D_dense_depth.py:10-11). Keys are the GenEfficientNet's
+    own (conv_stem / bn1 / blocks.{stage}.{idx}.* / conv_head / bn2),
+    i.e. the AdaBins encoder layout minus its 'original_model.' prefix.
+    Non-encoder paths are unmapped (partial load keeps them at init)."""
+    inner = translate_adabins_encoder(parts)
+    prefix = "original_model."
+    assert inner.startswith(prefix), inner
+    return inner[len(prefix):]
+
+
 _TRANSLATORS = {"dnet": translate_dnet, "fnet": translate_fnet,
                 "magnet": translate_magnet,
-                "adabins_encoder": translate_adabins_encoder}
+                "adabins_encoder": translate_adabins_encoder,
+                "hub_encoder": translate_hub_encoder}
 
 
 def convert(state_dict: Dict[str, np.ndarray], variables,
-            model_kind: str, strict: bool = True):
+            model_kind: str, strict: bool = True,
+            missing_ok: bool = None):
     """Fill a Flax variable tree (params + batch_stats collections) from a
-    torch state dict; returns a new tree of identical structure."""
+    torch state dict; returns a new tree of identical structure.
+
+    ``strict`` governs UNMAPPED flax paths (no translation rule): raise
+    vs keep-at-init. ``missing_ok`` governs mapped-but-ABSENT torch keys;
+    it defaults to ``not strict`` for compatibility, but partial encoder
+    loads pass missing_ok=False — a translated key missing from the
+    checkpoint means a wrong/truncated file, and silently training from a
+    half-random encoder would be worse than failing."""
     translate = _TRANSLATORS[model_kind]
     flat = traverse_util.flatten_dict(variables)
     out, missing = {}, []
@@ -211,7 +233,9 @@ def convert(state_dict: Dict[str, np.ndarray], variables,
             raise ValueError(f"shape mismatch {'/'.join(path)} <- {tkey}: "
                              f"{w.shape} vs {np.asarray(value).shape}")
         out[full_path] = w.astype(np.asarray(value).dtype)
-    if missing and strict:
+    if missing_ok is None:
+        missing_ok = not strict
+    if missing and not missing_ok:
         raise KeyError(
             f"missing torch keys ({len(missing)}): {missing[:10]} ...")
     return traverse_util.unflatten_dict(out)
@@ -232,4 +256,17 @@ def convert_magnet(state_dict, variables, strict: bool = True):
 def convert_adabins_encoder(state_dict, variables):
     """Partial load: fill only the encoder subtree, leave the rest at
     init (the optimizer freezes the encoder; train/optim.py)."""
-    return convert(state_dict, variables, "adabins_encoder", strict=False)
+    return convert(state_dict, variables, "adabins_encoder", strict=False,
+                   missing_ok=False)
+
+
+def convert_hub_encoder(state_dict, variables):
+    """Partial load of a bare torch.hub ``tf_efficientnet_b5_ap``
+    ImageNet state dict into the D-Net encoder subtree — the TPU
+    equivalent of the reference's ``pretrained=True`` encoder
+    construction (D_dense_depth.py:10-11): fresh D-Net training starts
+    from ImageNet features instead of random init. The encoder stays
+    TRAINABLE (unlike the AdaBins path, which freezes it); the optimizer
+    already gives it lr/10 (train_DNet.py:48-53 parity)."""
+    return convert(state_dict, variables, "hub_encoder", strict=False,
+                   missing_ok=False)

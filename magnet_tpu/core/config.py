@@ -64,6 +64,12 @@ def _add_dnet_flags(p, required_arch: bool, with_ckpt: bool):
                    help="{DenseDepth_BN, DenseDepth_GN}")
     p.add_argument("--DNET_fix_encoder_weights", type=str, default="None",
                    help="None or AdaBins_fix")
+    p.add_argument("--encoder_ckpt", type=str, default="",
+                   help="bare torch.hub tf_efficientnet_b5_ap ImageNet "
+                        "state dict (.pt) to initialize the D-Net encoder "
+                        "from — replaces the reference's pretrained=True "
+                        "torch.hub construction (D_dense_depth.py:10-11); "
+                        "encoder stays trainable at lr/10")
     if with_ckpt:
         p.add_argument("--DNET_ckpt", required=True, type=str)
 

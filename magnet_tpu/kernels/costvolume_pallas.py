@@ -237,16 +237,37 @@ def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
     out_ref[0, 0] = total
 
 
+def pair_rows_env():
+    """The ONE place MAGNET_TPU_CV_PAIR_ROWS is parsed (perf experiments;
+    the production ladder picks rows per rung explicitly). Returns a
+    validated positive int, or None when unset — call sites apply their
+    own defaults so the env var's fallback semantics cannot drift between
+    them. Raises a clear error on malformed/degenerate values instead of
+    an uncaught ValueError mid-trace."""
+    env = os.environ.get("MAGNET_TPU_CV_PAIR_ROWS", "").strip()
+    if not env:
+        return None
+    try:
+        rows = int(env)
+    except ValueError:
+        raise ValueError(
+            f"MAGNET_TPU_CV_PAIR_ROWS={env!r}: expected a positive int")
+    if not 0 < rows <= 64:
+        raise ValueError(
+            f"MAGNET_TPU_CV_PAIR_ROWS={rows}: must be in [1, 64] "
+            "(pair-slab rows; see kernels/costvolume_pallas.py)")
+    return rows
+
+
 def _pair_rows(W: int) -> int:
     """Pair-slab height: 8 rows where the f32 weight transient
     (2, W, 2*c_rows*W) stays ~1.6 MB (ScanNet W=160 and below), 4 rows at
     KITTI widths (W=304 would need 5.9 MB, past the scoped-VMEM budget).
     c_rows*W must stay a 128-multiple for full MXU passes — both 4*160
-    and 8*160 are. MAGNET_TPU_CV_PAIR_ROWS overrides (perf experiments;
-    the production ladder picks rows per rung explicitly)."""
-    env = os.environ.get("MAGNET_TPU_CV_PAIR_ROWS", "")
-    if env:
-        return int(env)
+    and 8*160 are. pair_rows_env() overrides."""
+    env = pair_rows_env()
+    if env is not None:
+        return env
     return 8 if W <= 160 else 4
 
 

@@ -79,7 +79,15 @@ def set_batched_kernel_default(on: bool) -> None:
     """Declare whether the batched (B > 1) Pallas cost volume may engage
     by default. Train entry points call this with `mesh.size == 1`: on a
     single-device mesh the GSPMD-replication concern is vacuous and the
-    kernel is a measured +21% on the MaGNet train step."""
+    kernel is a measured +21% on the MaGNet train step.
+
+    MUST be called BEFORE the first trace of any step that reaches
+    cost_volume_cw: the flag is read at trace time and is not part of any
+    jit cache key, so flipping it after a step has been traced silently
+    has no effect on that step (and flipping it between calls of the same
+    signature will not retrigger tracing). Library users who need
+    per-call control should set MAGNET_TPU_PALLAS_CV_BATCH and manage
+    their own jit boundaries instead."""
     global _BATCHED_KERNEL_DEFAULT
     _BATCHED_KERNEL_DEFAULT = bool(on)
 
@@ -279,8 +287,7 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
             # which rung runs, never correctness — static/slow frames
             # (the serving steady state) ride it, frames it cannot cover
             # exactly escalate.
-            rows1 = (int(os.environ.get("MAGNET_TPU_CV_PAIR_ROWS", "4"))
-                     if pair else None)
+            rows1 = ((cvp.pair_rows_env() or 4) if pair else None)
             steps = [(pair, band, rows1)]
             wide = (False, max(32, 2 * band), None)
             if (wide[:2] != steps[0][:2]) and H >= wide[1]:

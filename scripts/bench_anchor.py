@@ -168,10 +168,18 @@ def main(n_frames: int = 3):
 
 def bandwidth_only():
     """Refresh only the bandwidth cross-check fields in the existing
-    bench_anchor.json (the torch anchor run is ~3 min)."""
+    bench_anchor.json (the torch anchor run is ~3 min). When the file is
+    absent or unreadable, writes the bandwidth fields standalone — the
+    cheap path must not require the expensive one to have run first."""
     path = os.path.join(ROOT, "bench_anchor.json")
-    with open(path) as f:
-        out = json.load(f)
+    try:
+        with open(path) as f:
+            out = json.load(f)
+    except (OSError, ValueError):
+        print(f"note: {path} absent/unreadable; writing bandwidth "
+              "fields standalone (run without --bandwidth-only for the "
+              "full torch anchor)", file=sys.stderr)
+        out = {}
     out.update(bandwidth_fields())
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

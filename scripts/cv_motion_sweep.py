@@ -49,10 +49,12 @@ from magnet_tpu.kernels.costvolume_pallas import (  # noqa: E402
     cost_volume_cw_oob_fraction, cost_volume_cw_pallas)
 
 
-@functools.partial(jax.jit, static_argnames=("band", "pair"))
-def _oob_jit(dvol, R, t, K, rays, valid, band, pair):
+@functools.partial(jax.jit,
+                   static_argnames=("band", "pair", "pair_rows"))
+def _oob_jit(dvol, R, t, K, rays, valid, band, pair, pair_rows=None):
     return cost_volume_cw_oob_fraction(dvol, R, t, K, rays, valid,
-                                       band=band, pair=pair)
+                                       band=band, pair=pair,
+                                       pair_rows=pair_rows)
 from magnet_tpu.models.magnet import (  # noqa: E402
     gaussian_sampling_offsets)
 from magnet_tpu.ops.costvolume import _cost_volume_cw_xla  # noqa: E402

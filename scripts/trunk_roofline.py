@@ -26,7 +26,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from magnet_tpu.nn.efficientnet import b5_stage_config, round_channels
+from magnet_tpu.nn.efficientnet import b5_stage_config
 
 PEAK_TFLOPS = 197.0
 PEAK_GBPS = 819.0
@@ -50,7 +50,6 @@ def trunk_roofline(n_frames=5, H=480, W=640):
     # stem: 3x3 s2, 3 -> 48
     fl, tr, h, w = conv_cost(H, W, 3, 48, 3, 2, n=n_frames)
     add("stem", fl, tr)
-    ch = 48
     for si, stage in enumerate(b5_stage_config()):
         sfl = str_ = 0
         for cfg in stage:

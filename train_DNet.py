@@ -65,6 +65,14 @@ def main():
         from magnet_tpu.compat import torch_loader
         sd = torch_loader.load_state_dict("./ckpts/AdaBins_kitti_encoder.pt")
         variables = torch_loader.convert_adabins_encoder(sd, variables)
+    elif getattr(args, "encoder_ckpt", ""):
+        # ImageNet-pretrained encoder init (trainable): the reference gets
+        # this implicitly from torch.hub pretrained=True
+        # (D_dense_depth.py:10-11); here the hub state dict is a file.
+        from magnet_tpu.compat import torch_loader
+        sd = torch_loader.load_state_dict(args.encoder_ckpt)
+        variables = torch_loader.convert_hub_encoder(sd, variables)
+        print(f"encoder initialized from {args.encoder_ckpt}")
 
     state = steps.TrainState.create(variables, tx,
                                     seed=getattr(args, "seed", 0))
