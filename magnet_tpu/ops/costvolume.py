@@ -104,6 +104,53 @@ def _batched_kernel_ok(B: int) -> bool:
     return _BATCHED_KERNEL_DEFAULT
 
 
+# Slab VMEM budget for adding wider full-band rungs to the ladder: the
+# kernel's packed-source scratch is (V, band, W, 128) bf16, and Mosaic
+# needs ~6.5 MB more for the pipelined weight transients. Measured on
+# v5e (probe, round 4): band 48 at V=4, W=160 (7.9 MB slab) compiles and
+# runs; band 64 (10.5 MB) fails scoped-VMEM compile.
+_SLAB_BUDGET_BYTES = 8.5e6
+
+
+def ladder_steps(H: int, W: int, V: int):
+    """The production escalation-ladder rung list for this shape: tuples
+    (pair, band, pair_rows), cheapest first; the exact XLA path is the
+    implicit final rung. Shared by the dispatch below and the
+    motion-regime bench (scripts/bench_motion.py) so they can never
+    disagree about what runs.
+
+    Rung choice is measurement-driven (scripts/cv_motion_sweep.py
+    --ladder, docs/KERNELS.md): the narrow pair slab covers near-static
+    frames (the serving steady state), band 32 covers ScanNet-slow and
+    most KITTI motion, band 48 recovers ~75-81% of ScanNet-normal frames
+    that would otherwise pay the XLA path; band 64 does not fit VMEM at
+    the ScanNet shape. MAGNET_TPU_CV_LADDER overrides with a comma list
+    of pair:band[:rows] | band:band specs."""
+    from magnet_tpu.kernels import costvolume_pallas as cvp
+
+    env = os.environ.get("MAGNET_TPU_CV_LADDER", "").strip()
+    if env:
+        steps = []
+        for spec in env.split(","):
+            f = spec.strip().split(":")
+            pair = {"pair": True, "band": False}[f[0]]
+            steps.append((pair, int(f[1]),
+                          int(f[2]) if len(f) > 2 else None))
+        return tuple(steps)
+
+    band = int(os.environ.get("MAGNET_TPU_CV_BAND", cvp.DEFAULT_BAND))
+    pair = cvp.use_pair_kernel()
+    rows1 = ((cvp.pair_rows_env() or 4) if pair else None)
+    steps = [(pair, band, rows1)]
+    for b in sorted({max(32, 2 * band), 48}):
+        if b <= steps[-1][1] or H < b:
+            continue
+        if V * b * W * 128 * 2 > _SLAB_BUDGET_BYTES:
+            continue
+        steps.append((False, b, None))
+    return tuple(steps)
+
+
 _EPS_DIV = 1e-10
 _COORD_CLIP = 10.0
 # Projective geometry must not run through the MXU's bf16 truncation —
@@ -268,33 +315,29 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
         from magnet_tpu.kernels import costvolume_pallas as cvp
         # MAGNET_TPU_CV_BAND widens the first rung's row-slab budget
         # (VMEM permitting) for high-parallax regimes; MAGNET_TPU_CV_PAIR
-        # picks its kernel variant (see use_pair_kernel).
-        band = int(os.environ.get("MAGNET_TPU_CV_BAND",
-                                  cvp.DEFAULT_BAND))
+        # picks its kernel variant (see use_pair_kernel);
+        # MAGNET_TPU_CV_LADDER overrides the whole rung list.
+        V = src_feat.shape[1]
+        steps = ladder_steps(H, W, V)
+        band = steps[0][1]
         if cvp.supported(d_volume, H, W, band=band):
             args = (d_volume, ref_feat, src_feat, src_mu, src_sigma, R, t,
                     is_valid, intM, rays2d, kappa)
             tol = _cv_guard_tol()
-            pair = cvp.use_pair_kernel()
             if tol is None:
                 return cvp.cost_volume_cw_pallas(*args, band=band,
-                                                 pair=pair)
-            # Escalation ladder: cheapest exact variant per frame —
-            # narrow pair(band) -> full-band(2*band, measured exact in
-            # nearly all realistic regimes, scripts/cv_motion_sweep.py)
-            # -> XLA. Rung 1 uses the NARROW 4-row pair slab: it is ~2x
-            # cheaper than the 8-row variant and coverage only decides
-            # which rung runs, never correctness — static/slow frames
-            # (the serving steady state) ride it, frames it cannot cover
-            # exactly escalate.
-            rows1 = ((cvp.pair_rows_env() or 4) if pair else None)
-            steps = [(pair, band, rows1)]
-            wide = (False, max(32, 2 * band), None)
-            if (wide[:2] != steps[0][:2]) and H >= wide[1]:
-                steps.append(wide)
+                                                 pair=steps[0][0],
+                                                 pair_rows=steps[0][2])
+            # Escalation ladder (ladder_steps): cheapest exact variant
+            # per frame — narrow pair(band) -> full-band 32 -> full-band
+            # 48 where it fits VMEM -> XLA. Rung 1 uses the NARROW 4-row
+            # pair slab: it is ~2x cheaper than the 8-row variant and
+            # coverage only decides which rung runs, never correctness —
+            # static/slow frames (the serving steady state) ride it,
+            # frames it cannot cover exactly escalate. Measured rung
+            # occupancy per motion regime: docs/KERNELS.md.
             return cvp.cost_volume_cw_pallas_ladder(
-                *args, xla_fn=_cost_volume_cw_xla, tol=tol,
-                steps=tuple(steps))
+                *args, xla_fn=_cost_volume_cw_xla, tol=tol, steps=steps)
 
     return _cost_volume_cw_xla(d_volume, ref_feat, src_feat, src_mu,
                                src_sigma, R, t, is_valid, intM, rays2d,

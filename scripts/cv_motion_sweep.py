@@ -60,6 +60,14 @@ from magnet_tpu.models.magnet import (  # noqa: E402
 from magnet_tpu.ops.costvolume import _cost_volume_cw_xla  # noqa: E402
 
 
+def _digest(*parts):
+    """Deterministic seed digest: python's str hash is randomized per
+    process (PYTHONHASHSEED), which made sweep results non-reproducible
+    run to run."""
+    import zlib
+    return zlib.crc32("/".join(map(str, parts)).encode())
+
+
 def _rot(axis, ang):
     c, s = np.cos(ang), np.sin(ang)
     i, j = [(1, 2), (0, 2), (0, 1)][axis]
@@ -168,14 +176,89 @@ def regimes():
     return out
 
 
+def _parse_rung(spec):
+    """'pair:16:4' -> (pair=True, band=16, pair_rows=4); 'band:32' ->
+    (False, 32, None)."""
+    f = spec.split(":")
+    pair = {"pair": True, "band": False}[f[0]]
+    band = int(f[1])
+    rows = int(f[2]) if len(f) > 2 else None
+    return pair, band, rows
+
+
+def ladder_mode(args):
+    """Per (regime, sigma_ratio): the fraction of frames that ride each
+    ladder rung — the FIRST rung whose out-of-band fraction is within
+    --tol, exactly the production guard's dispatch rule
+    (ops/costvolume.py) — plus 'xla' when none covers. This is the
+    occupancy input to the per-regime throughput model
+    (scripts/bench_motion.py): occupancy x measured per-rung frame times
+    = expected fps on data that moves like the regime."""
+    rungs = [_parse_rung(s) for s in args.rungs.split(",")]
+    names = [f"{'pair' if p else 'band'}{b}" + (f"r{r}" if r else "")
+             for p, b, r in rungs]
+    k_list = gaussian_sampling_offsets(3.0, 5)
+    hdr = (f"{'dataset':8} {'speed':12} {'sig/mu':7} "
+           + " ".join(f"{n:>10}" for n in names) + f" {'xla':>10}")
+    print(hdr)
+    print("-" * len(hdr))
+    rows_out = []
+    for name, speed, scene_fn, H, W, (K, rays), pose_fn, (sig_lo,
+                                                          sig_hi) in \
+            regimes():
+        for sig_ratio in (0.25, 0.10, 0.03):          # iter 1 -> 3
+            counts = [0] * (len(rungs) + 1)
+            for seed in range(args.seeds):
+                rng = np.random.RandomState(
+                    1000 + seed + _digest(name, speed) % 1000)
+                mu = scene_fn(rng)
+                sigma = np.clip(mu * sig_ratio, sig_lo, sig_hi)
+                dvol = (mu[..., None]
+                        + sigma[..., None] * k_list[None, None])
+                Rs, ts = pose_fn(rng)
+                V = Rs.shape[0]
+                a = (jnp.asarray(dvol[None]), jnp.asarray(Rs[None]),
+                     jnp.asarray(ts[None]), jnp.asarray(K[None]),
+                     jnp.asarray(rays[None]),
+                     jnp.ones((1, V), jnp.float32))
+                chosen = len(rungs)                   # xla
+                for i, (p, b, r) in enumerate(rungs):
+                    frac = float(_oob_jit(*a, band=b, pair=p,
+                                          pair_rows=r)[0])
+                    if frac <= args.tol:
+                        chosen = i
+                        break
+                counts[chosen] += 1
+            occ = [c / args.seeds for c in counts]
+            print(f"{name:8} {speed:12} {sig_ratio:<7} "
+                  + " ".join(f"{o:10.3f}" for o in occ))
+            rows_out.append({"dataset": name, "speed": speed,
+                             "sigma_ratio": sig_ratio, "tol": args.tol,
+                             "rungs": names + ["xla"], "occupancy": occ})
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows_out, f, indent=1)
+        print(f"\nwrote {args.json}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--deltas", action="store_true",
                     help="also run both CV paths and report cost deltas")
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--bands", type=int, nargs="*", default=[16, 32])
+    ap.add_argument("--ladder", action="store_true",
+                    help="report per-regime rung occupancy instead of "
+                         "raw fractions")
+    ap.add_argument("--rungs", default="pair:16:4,band:32",
+                    help="comma list of pair:band[:rows]|band:band specs "
+                         "(the production ladder by default)")
+    ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--json", default="")
     args = ap.parse_args()
+    if args.ladder:
+        ladder_mode(args)
+        return
 
     k_list = gaussian_sampling_offsets(3.0, 5)             # MAGNET defaults
     rows, summary = [], {}
@@ -194,7 +277,7 @@ def main():
                     fracs, deltas = [], []
                     for seed in range(args.seeds):
                         rng = np.random.RandomState(
-                            1000 + seed + hash((name, speed)) % 1000)
+                            1000 + seed + _digest(name, speed) % 1000)
                         mu = scene_fn(rng)
                         sigma = np.clip(mu * sig_ratio, sig_lo, sig_hi)
                         dvol = (mu[..., None]

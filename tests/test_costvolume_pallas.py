@@ -210,6 +210,46 @@ def test_ladder_fast_path_in_band():
     np.testing.assert_allclose(_ladder(args), want, atol=1e-4)
 
 
+def test_ladder_band48_rung():
+    """A roll that leaks band-32 but fits band-48 must ride the band-48
+    kernel (the round-4 rung that recovers ScanNet-normal motion) and
+    match the exact XLA result."""
+    args = _degraded_inputs(H=48, roll=0.45)
+    assert _oob_band(args, False, 32) > 1e-3
+    assert _oob_band(args, False, 48) <= 1e-3
+    want = np.asarray(cost_volume_cw_pallas(*args, 5.0, band=48,
+                                            pair=False, interpret=True))
+    xla = np.asarray(cost_volume_cw(*args, 5.0))
+    got = np.asarray(cost_volume_cw_pallas_ladder(
+        *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3,
+        steps=((True, 16, 4), (False, 32), (False, 48)), interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    np.testing.assert_allclose(got, xla, atol=1e-4)
+
+
+def test_ladder_steps_defaults():
+    """ladder_steps: band 48 joins where the slab fits VMEM, tiny shapes
+    stay single-rung, and MAGNET_TPU_CV_LADDER overrides."""
+    import os
+
+    from magnet_tpu.ops.costvolume import ladder_steps
+    assert ladder_steps(120, 160, 4) == (
+        (True, 16, 4), (False, 32, None), (False, 48, None))
+    assert ladder_steps(88, 304, 2) == (
+        (True, 16, 4), (False, 32, None), (False, 48, None))
+    # V=4 at KITTI width even the 32-slab (9.96 MB) busts the budget
+    # (the same scoped-VMEM ceiling band 64 hit at the ScanNet shape);
+    # only the pair rung runs, XLA covers escalation
+    assert ladder_steps(88, 304, 4) == ((True, 16, 4),)
+    assert ladder_steps(16, 16, 2) == ((True, 16, 4),)
+    os.environ["MAGNET_TPU_CV_LADDER"] = "pair:16:8,band:32"
+    try:
+        assert ladder_steps(120, 160, 4) == ((True, 16, 8),
+                                             (False, 32, None))
+    finally:
+        del os.environ["MAGNET_TPU_CV_LADDER"]
+
+
 _NARROW = ((True, 16, 4), (False, 32))   # production eval rung shape:
                                          # narrow 4-row pair slab first
                                          # (ops/costvolume.py), mixed
