@@ -69,6 +69,18 @@ DEFAULT_BAND = 16
 DEFAULT_TILE_H = 8
 
 
+def _dot_precision(matmul_dtype):
+    """f32 matching (--compute_dtype float32, the bit-parity mode) must
+    contract in REAL f32: the MXU's default f32 matmul rounds operands
+    through bf16 passes, measured ~4e-1% relative cost error — which
+    both breaks 'bit-level reference parity' and swamps the guard's
+    coverage-bound measurement (scripts/cv_delta_bound.py). HIGHEST
+    forces the multi-pass f32 algorithm; bf16 matching keeps the fast
+    default (its operands are already bf16-rounded)."""
+    return (jax.lax.Precision.HIGHEST if matmul_dtype == jnp.float32
+            else None)
+
+
 def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
                  q_ref, rc_ref, p_any, out_ref, band_vmem, acc_ref, sem, *,
                  n_views: int, band: int, c_rows: int, n_feat: int,
@@ -128,7 +140,8 @@ def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
                 return jax.lax.dot_general(
                     m, slab.astype(matmul_dtype),
                     dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (2, W, nc)
+                    preferred_element_type=jnp.float32,
+                    precision=_dot_precision(matmul_dtype))  # (2, W, nc)
 
             acc_ref[sl] = dot(build(0), 0)
 
@@ -217,7 +230,8 @@ def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
             return jax.lax.dot_general(
                 m, slab.astype(matmul_dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (tile_h, W, nc)
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(matmul_dtype))  # (tile_h,W,nc)
 
         acc = None
         pend = dot(build(0), 0)

@@ -112,7 +112,7 @@ def _batched_kernel_ok(B: int) -> bool:
 _SLAB_BUDGET_BYTES = 8.5e6
 
 
-def ladder_steps(H: int, W: int, V: int):
+def ladder_steps(H: int, W: int, V: int, itemsize: int = 2):
     """The production escalation-ladder rung list for this shape: tuples
     (pair, band, pair_rows), cheapest first; the exact XLA path is the
     implicit final rung. Shared by the dispatch below and the
@@ -125,7 +125,14 @@ def ladder_steps(H: int, W: int, V: int):
     most KITTI motion, band 48 recovers ~75-81% of ScanNet-normal frames
     that would otherwise pay the XLA path; band 64 does not fit VMEM at
     the ScanNet shape. MAGNET_TPU_CV_LADDER overrides with a comma list
-    of pair:band[:rows] | band:band specs."""
+    of pair:band[:rows] | band:band specs.
+
+    ``itemsize`` is the matching dtype's byte width: the slab is stored
+    in the matching dtype, so f32 matching (--compute_dtype float32,
+    the bit-parity mode) doubles the slab and excludes the full-band
+    rungs at the ScanNet shape — measured: band 32 f32 at V=4, W=160
+    (10.5 MB slab) fails compile with scoped VMEM 19.03M > 16M, while
+    the same rung in bf16 runs."""
     from magnet_tpu.kernels import costvolume_pallas as cvp
 
     env = os.environ.get("MAGNET_TPU_CV_LADDER", "").strip()
@@ -145,7 +152,7 @@ def ladder_steps(H: int, W: int, V: int):
     for b in sorted({max(32, 2 * band), 48}):
         if b <= steps[-1][1] or H < b:
             continue
-        if V * b * W * 128 * 2 > _SLAB_BUDGET_BYTES:
+        if V * b * W * 128 * itemsize > _SLAB_BUDGET_BYTES:
             continue
         steps.append((False, b, None))
     return tuple(steps)
@@ -318,7 +325,8 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
         # picks its kernel variant (see use_pair_kernel);
         # MAGNET_TPU_CV_LADDER overrides the whole rung list.
         V = src_feat.shape[1]
-        steps = ladder_steps(H, W, V)
+        mdt_size = 2 if src_feat.dtype == jnp.bfloat16 else 4
+        steps = ladder_steps(H, W, V, itemsize=mdt_size)
         band = steps[0][1]
         if cvp.supported(d_volume, H, W, band=band):
             args = (d_volume, ref_feat, src_feat, src_mu, src_sigma, R, t,

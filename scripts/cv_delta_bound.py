@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Measured bound for the cost-volume guard tolerance (tol = 1e-3).
+
+The exactness guard admits a frame to a kernel rung when at most tol of
+its (view, candidate, pixel) samples fall outside the loaded slabs
+(ops/costvolume.py). Round 3 justified tol=1e-3 by argument (degraded
+samples only lose cost toward zero); this script turns it into numbers,
+separating the TWO sources of kernel-vs-XLA deviation:
+
+  * fp-order noise: both paths compute the warped (mu, sigma) by
+    different (all-f32) summation orders, so pixels sitting within fp
+    epsilon of the consistency threshold |z - mu_w| < kappa*sigma_w can
+    flip, contributing a full matching-cost delta at isolated pixels.
+    This exists at out-of-band fraction 0 (where the planner certifies
+    exact coverage) and is inherent to ANY pair of correct
+    implementations of a hard threshold.
+  * coverage loss: the quantity tol actually controls. Isolated by
+    running both paths with kappa=1e9 (consistency test always passes,
+    no threshold to flip): at frac = 0 the kappa-1e9 delta is pure fp
+    noise (~1e-5); at the admission boundary (largest frac <= tol) its
+    growth is the guard's worst admitted coverage error.
+
+Geometry: V=2 f32 at the ScanNet dpv shape — f32 matching doubles the
+kernel slab and VMEM-excludes the full-band rungs at V=4 (measured:
+band-32 f32 V=4 OOMs scoped vmem 19.03M > 16M), while per-view coverage
+geometry is view-count independent, so V=2 measures the same bound.
+
+DEPTH level: the full fusion stage (Magnet.fuse — guarded ladder cost
+volume + G-Net residual updates + learned upsampling, 3 iterations,
+RANDOM unzeroed G-Net weights) runs twice at the boundary poses — the
+production guarded ladder vs MAGNET_TPU_PALLAS_CV=0 — and the final
+depth shift is reported as mean/max |d_kernel - d_xla| / d_xla, the
+abs_rel-style quantity the 0.002 acceptance band is written in.
+
+Writes benchmarks/cv_delta_bound.json; docs/KERNELS.md cites the
+result; tests/test_costvolume_pallas.py::test_guard_tol_cost_bound pins
+the coverage bound in CI (interpret mode).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def largest_roll(pred, lo=0.0, hi=1.2, iters=40):
+    """Largest roll angle satisfying pred (pred monotone-ish: true at
+    small angles, false beyond)."""
+    if pred(hi):
+        return hi
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if pred(mid):
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tol", type=float, default=1e-3)
+    ap.add_argument("--seeds", type=int, default=4)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from magnet_tpu.core.cache import enable_compilation_cache
+    from magnet_tpu.kernels import costvolume_pallas as cvp
+    from magnet_tpu.models.magnet import (Magnet,
+                                          gaussian_sampling_offsets)
+    from magnet_tpu.ops import costvolume as cv_ops
+    from cv_motion_sweep import _intrinsics, scannet_scene
+
+    enable_compilation_cache()
+    interpret = jax.default_backend() != "tpu"
+    B, V, H, W, C = 1, 2, 120, 160, 64
+    K, rays = _intrinsics(H, W, 144.4, 144.4, 80.0, 60.0)
+    ks = gaussian_sampling_offsets(3.0, 5)
+    steps = cv_ops.ladder_steps(H, W, V, itemsize=4)
+    names = [f"{'pair' if p else 'band'}{b}" + (f"r{r}" if r else "")
+             for p, b, r in steps]
+    print(f"f32 V={V} ladder: {names}")
+
+    import functools
+
+    valid = np.ones((B, V), np.float32)
+    Kj = jnp.asarray(K[None])
+    raysj = jnp.asarray(rays[None])
+    validj = jnp.asarray(valid)
+
+    def poses(theta):
+        c, s = np.cos(theta), np.sin(theta)
+        Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        R = np.tile(Rz, (B, V, 1, 1)).astype(np.float32)
+        t = np.zeros((B, V, 3), np.float32)
+        t[..., 0] = 0.05
+        return R, t
+
+    # Seed data rides as jit ARGUMENTS (not closure constants) so every
+    # seed reuses the same compiled programs — one compile per
+    # (rung, kappa), not per seed.
+    @functools.partial(jax.jit, static_argnames=("b", "p", "r"))
+    def _oob_jit(dv, R, t, b, p, r):
+        return cvp.cost_volume_cw_oob_fraction(
+            dv, R, t, Kj, raysj, validj, band=b, pair=p, pair_rows=r)
+
+    @functools.partial(jax.jit, static_argnames=("p", "b", "r", "kappa"))
+    def _both(data, R, t, p, b, r, kappa):
+        dv, ref_, src_, smu_, ssig_ = data
+        full = (dv, ref_, src_, smu_, ssig_, R, t, validj, Kj, raysj)
+        xla = cv_ops._cost_volume_cw_xla(*full, kappa)
+        pal = cvp.cost_volume_cw_pallas(
+            *full, kappa, band=b, pair=p, pair_rows=r,
+            interpret=interpret)
+        d = jnp.abs(pal - xla)
+        return d.max(), d.mean(), jnp.abs(xla).max()
+
+    results = {"tol": args.tol, "rungs": {}, "depth": {}}
+    for seed in range(args.seeds):
+        rng = np.random.RandomState(100 + seed)
+        mu = scannet_scene(rng)
+        sigma = np.clip(mu * 0.10, 0.03, 3.0)
+        dvol = (mu[..., None] + sigma[..., None] * ks).astype(np.float32)
+        ref = rng.randn(B, H, W, C).astype(np.float32)
+        src = rng.randn(B, V, H, W, C).astype(np.float32)
+        smu = np.tile(mu, (B, V, 1, 1)).astype(np.float32)
+        ssig = np.tile(sigma, (B, V, 1, 1)).astype(np.float32)
+        data = tuple(jnp.asarray(a) for a in
+                     (dvol[None], ref, src, smu, ssig))
+
+        def frac_at(theta, p, b, r, data=data):
+            R, t = poses(theta)
+            return float(_oob_jit(data[0], jnp.asarray(R),
+                                  jnp.asarray(t), b, p, r)[0])
+
+        def deltas_at(theta, p, b, r, kappa, data=data):
+            R, t = poses(theta)
+            mx, mn, sc = _both(data, jnp.asarray(R), jnp.asarray(t),
+                               p, b, r, float(kappa))
+            return float(mx), float(mn), float(sc)
+
+        for i, (p, b, r) in enumerate(steps):
+            th_exact = largest_roll(
+                lambda t_, p=p, b=b, r=r: frac_at(t_, p, b, r) == 0.0)
+            th_bound = largest_roll(
+                lambda t_, p=p, b=b, r=r: frac_at(t_, p, b, r)
+                <= args.tol)
+            fr_bound = frac_at(th_bound, p, b, r)
+            mx0_k, mn0_k, _ = deltas_at(th_exact, p, b, r, 5.0)
+            mx0_c, mn0_c, _ = deltas_at(th_exact, p, b, r, 1e9)
+            mxb_k, mnb_k, sc = deltas_at(th_bound, p, b, r, 5.0)
+            mxb_c, mnb_c, _ = deltas_at(th_bound, p, b, r, 1e9)
+            row = results["rungs"].setdefault(names[i], {})
+
+            def acc(key, v):
+                row[key] = max(row.get(key, 0.0), v)
+            acc("exact_max_delta_kappa5", mx0_k)
+            acc("exact_max_delta_nothresh", mx0_c)
+            acc("boundary_max_delta_kappa5", mxb_k)
+            acc("boundary_max_delta_nothresh", mxb_c)
+            acc("boundary_mean_delta_nothresh", mnb_c)
+            acc("boundary_frac", fr_bound)
+            acc("cv_scale", sc)
+            print(f"seed {seed} {names[i]:10} exact@{np.degrees(th_exact):5.2f}d "
+                  f"d5={mx0_k:.3e} dNT={mx0_c:.3e} | "
+                  f"bound@{np.degrees(th_bound):5.2f}d frac={fr_bound:.1e} "
+                  f"d5={mxb_k:.3e} dNT={mxb_c:.3e} mean={mnb_c:.2e}",
+                  flush=True)
+
+        # ---- depth-level propagation at the LAST kernel rung's boundary
+        model = Magnet(n_iters=3)
+        p_l, b_l, r_l = steps[-1]
+        th = largest_roll(
+            lambda t_: frac_at(t_, p_l, b_l, r_l) <= args.tol)
+        R, t = poses(th)
+        variables = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, V, 64, 64, 3)),
+            jnp.tile(jnp.eye(3), (1, V, 1, 1)), jnp.zeros((1, V, 3)),
+            jnp.ones((1, V)), jnp.asarray(K[None]),
+            jnp.asarray(rays[None, :, :16 * 16]), train=False)
+
+        ref_gauss = jnp.asarray(
+            np.stack([mu, sigma], -1)[None].astype(np.float32))
+        src_gauss = jnp.asarray(
+            np.stack([smu, ssig], -1).astype(np.float32))
+        x_d3 = jnp.asarray(rng.randn(B, H, W, 256).astype(np.float32))
+        fuse_args = (ref_gauss, x_d3, jnp.asarray(ref), src_gauss,
+                     jnp.asarray(src), jnp.asarray(R), jnp.asarray(t),
+                     jnp.asarray(valid), jnp.asarray(K[None]),
+                     jnp.asarray(rays[None]))
+
+        def run_fuse():
+            # fresh jit wrapper per call: the kernel/XLA dispatch reads
+            # MAGNET_TPU_PALLAS_CV at trace time
+            f = jax.jit(lambda v_, *a: model.apply(
+                v_, *a, train=False, method=Magnet.fuse))
+            return np.asarray(f(variables, *fuse_args)[-1][..., 0])
+
+        d_kernel = run_fuse()
+        os.environ["MAGNET_TPU_PALLAS_CV"] = "0"
+        try:
+            d_xla = run_fuse()
+        finally:
+            del os.environ["MAGNET_TPU_PALLAS_CV"]
+        denom = np.maximum(np.abs(d_xla), 1e-3)
+        rel = np.abs(d_kernel - d_xla) / denom
+        row = results["depth"]
+        row["mean_abs_rel_shift"] = max(
+            row.get("mean_abs_rel_shift", 0.0), float(rel.mean()))
+        row["max_abs_rel_shift"] = max(
+            row.get("max_abs_rel_shift", 0.0), float(rel.max()))
+        row["rung"] = names[-1]
+        row["roll_deg"] = float(np.degrees(th))
+        print(f"seed {seed} depth shift at {names[-1]} boundary: "
+              f"mean {rel.mean():.3e} max {rel.max():.3e}", flush=True)
+
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks/cv_delta_bound.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -210,6 +210,45 @@ def test_ladder_fast_path_in_band():
     np.testing.assert_allclose(_ladder(args), want, atol=1e-4)
 
 
+def test_guard_tol_cost_bound():
+    """Pins the mechanism behind the measured guard-tolerance bound
+    (benchmarks/cv_delta_bound.json, docs/KERNELS.md): (a) where the
+    planner certifies exact coverage (frac = 0) the kernel matches the
+    XLA path to f32 noise; (b) at the smallest achievable nonzero
+    out-of-band fraction, the mean cost perturbation stays proportional
+    to that fraction (each admitted sample loses at most its own cost),
+    which is what makes tol=1e-3 imply a <=1.5e-4 depth abs_rel shift
+    on the real-chip measurement."""
+    lo, hi = 0.0, 1.2
+    for _ in range(40):                   # bisect the coverage edge
+        mid = 0.5 * (lo + hi)
+        args = _degraded_inputs(H=48, roll=mid)
+        if _oob_band(args, False, 32) == 0.0:
+            lo = mid
+        else:
+            hi = mid
+
+    exact = _degraded_inputs(H=48, roll=lo)
+    assert _oob_band(exact, False, 32) == 0.0
+    xla = np.asarray(cost_volume_cw(*exact, 5.0))
+    pal = np.asarray(cost_volume_cw_pallas(*exact, 5.0, band=32,
+                                           pair=False, interpret=True))
+    assert np.abs(pal - xla).max() <= 1e-4
+
+    beyond = _degraded_inputs(H=48, roll=hi)
+    frac = _oob_band(beyond, False, 32)
+    assert frac > 0.0
+    xla_b = np.asarray(cost_volume_cw(*beyond, 5.0))
+    pal_b = np.asarray(cost_volume_cw_pallas(*beyond, 5.0, band=32,
+                                             pair=False, interpret=True))
+    mean_delta = np.abs(pal_b - xla_b).mean()
+    # V * frac of samples can each lose at most ~their own mean cost;
+    # 4x margin over that proportionality
+    V = beyond[2].shape[1]
+    assert mean_delta <= 4.0 * V * frac * np.abs(xla_b).mean(), (
+        mean_delta, frac)
+
+
 def test_ladder_band48_rung():
     """A roll that leaks band-32 but fits band-48 must ride the band-48
     kernel (the round-4 rung that recovers ScanNet-normal motion) and
@@ -242,6 +281,12 @@ def test_ladder_steps_defaults():
     # only the pair rung runs, XLA covers escalation
     assert ladder_steps(88, 304, 4) == ((True, 16, 4),)
     assert ladder_steps(16, 16, 2) == ((True, 16, 4),)
+    # f32 matching (--compute_dtype float32) doubles the slab: the
+    # full-band rungs drop out at V=4 (band32 f32 measured to OOM
+    # scoped VMEM on v5e) but survive at V=2
+    assert ladder_steps(120, 160, 4, itemsize=4) == ((True, 16, 4),)
+    assert ladder_steps(120, 160, 2, itemsize=4) == (
+        (True, 16, 4), (False, 32, None), (False, 48, None))
     os.environ["MAGNET_TPU_CV_LADDER"] = "pair:16:8,band:32"
     try:
         assert ladder_steps(120, 160, 4) == ((True, 16, 8),
