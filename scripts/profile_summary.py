@@ -95,6 +95,45 @@ def summarize(trace_dir="/tmp/jaxtrace", n_frames=4, top=16, module=None):
                   f"{details[n][:60]} | {src[:60]}")
 
 
+def copies(trace_dir="/tmp/jaxtrace", n_frames=4, top=24):
+    """Every op in the 'copy' HLO category with its shapes (long_name)
+    and producing source line — the instrumentation for attributing the
+    trunk's layout-copy budget to specific producer/consumer layout
+    transitions (docs/KERNELS.md trunk roofline)."""
+    path = sorted(glob.glob(
+        trace_dir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(path) as f:
+        trace = json.load(f)
+    pids = {}
+    for e in trace["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    agg = {}
+    for e in trace["traceEvents"]:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if pids.get(e["pid"], "") != "/device:TPU:0":
+            continue
+        a = e.get("args", {})
+        # layout copies surface as 'data formatting' in current traces
+        if a.get("hlo_category", "") not in ("copy", "data formatting"):
+            continue
+        n = e["name"]
+        row = agg.setdefault(n, [0, 0, a.get("long_name", ""),
+                                 a.get("source_stack", "")])
+        row[0] += e["dur"]
+        row[1] += 1
+    total = sum(r[0] for r in agg.values())
+    print(f"copy total: {total / 1e3 / n_frames:.2f} ms/frame "
+          f"({len(agg)} distinct ops)")
+    for n, (d, c, long, src) in sorted(agg.items(),
+                                       key=lambda kv: -kv[1][0])[:top]:
+        print(f"{d / 1e3 / n_frames:6.3f} ms x{c:<3} {n[:24]:24s} "
+              f"{long[:110]}")
+        if src:
+            print(f"{'':14s}src: {src[:120]}")
+
+
 if __name__ == "__main__":
     import shutil
     shutil.rmtree("/tmp/jaxtrace", ignore_errors=True)
