@@ -84,7 +84,7 @@ def _dot_precision(matmul_dtype):
 def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
                  q_ref, rc_ref, p_any, out_ref, band_vmem, acc_ref, sem, *,
                  n_views: int, band: int, c_rows: int, n_feat: int,
-                 kappa: float, matmul_dtype):
+                 kappa: float, matmul_dtype, n_blocks: int = 1):
     """Pair-banded variant: each PAIR of output rows contracts only over a
     c_rows-row slab at its own scalar-prefetched offset rp (plus a second
     slab under ``pl.when`` when the pair's vertical footprint needs it),
@@ -92,7 +92,15 @@ def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
     the VPU weight build and the MXU contraction ~band/c_rows x; exact
     whenever a pair's sampled rows span <= 2*c_rows - 2 source rows
     (degrading to the same zero-cost semantics beyond, like the band
-    kernel beyond band - 1)."""
+    kernel beyond band - 1).
+
+    ``n_blocks`` > 1 splits each pair into column blocks with INDEPENDENT
+    slab offsets (rp_ref/two_ref carry a flattened pairs*blocks axis).
+    Sampled source rows vary laterally across the tile width (camera roll
+    shears rows; depth edges bend them), so per-block offsets cover up to
+    n_blocks x the lateral row spread at the SAME contraction cost — the
+    per-pair MACs are unchanged (n_blocks dots of W/n_blocks outputs each
+    over the same chunk); only the slab coverage moves per block."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     d = pl.program_id(2)
@@ -106,6 +114,7 @@ def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
     nc = band_vmem.shape[-1]
     chunk = c_rows * W
     n_pairs = tile_h // 2
+    Wb = W // n_blocks
     q = q_ref[0].astype(jnp.float32)                  # (tile_h, W, C_feat)
     r_rel = rc_ref[0]                                 # (chunk,) f32
     c_idx = rc_ref[1]
@@ -123,31 +132,36 @@ def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
 
         for p in range(n_pairs):
             sl = slice(2 * p, 2 * p + 2)
-            xp = x[sl]                                # (2, W)
-            yp = y[sl]
-            rp = rp_ref[b, v, d, t, p]
-            base = r0f + rp.astype(jnp.float32)
-            wxp = jnp.maximum(0.0, 1.0 - jnp.abs(xp[..., None] - c_idx))
+            for blk in range(n_blocks):
+                bs = (slice(None) if n_blocks == 1
+                      else slice(blk * Wb, (blk + 1) * Wb))
+                xp = x[sl, bs]                        # (2, Wb)
+                yp = y[sl, bs]
+                rp = rp_ref[b, v, d, t, p * n_blocks + blk]
+                base = r0f + rp.astype(jnp.float32)
+                wxp = jnp.maximum(0.0,
+                                  1.0 - jnp.abs(xp[..., None] - c_idx))
 
-            def build(off, yp=yp, base=base, wxp=wxp):
-                wy = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(yp[..., None] - (r_rel + base + off)))
-                return (wy * wxp).astype(matmul_dtype)  # (2, W, chunk)
+                def build(off, yp=yp, base=base, wxp=wxp):
+                    wy = jnp.maximum(
+                        0.0,
+                        1.0 - jnp.abs(yp[..., None] - (r_rel + base + off)))
+                    return (wy * wxp).astype(matmul_dtype)  # (2, Wb, chunk)
 
-            def dot(m, off, v=v, rp=rp):
-                slab = band_vmem[v, pl.ds(rp + off, c_rows)].reshape(
-                    chunk, nc)
-                return jax.lax.dot_general(
-                    m, slab.astype(matmul_dtype),
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_dot_precision(matmul_dtype))  # (2, W, nc)
+                def dot(m, off, v=v, rp=rp):
+                    slab = band_vmem[v, pl.ds(rp + off, c_rows)].reshape(
+                        chunk, nc)
+                    return jax.lax.dot_general(
+                        m, slab.astype(matmul_dtype),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_dot_precision(matmul_dtype))  # (2,Wb,nc)
 
-            acc_ref[sl] = dot(build(0), 0)
+                acc_ref[sl, bs] = dot(build(0), 0)
 
-            @pl.when(two_ref[b, v, d, t, p] > 0)
-            def _second(build=build, dot=dot, sl=sl):
-                acc_ref[sl] += dot(build(c_rows), c_rows)
+                @pl.when(two_ref[b, v, d, t, p * n_blocks + blk] > 0)
+                def _second(build=build, dot=dot, sl=sl, bs=bs):
+                    acc_ref[sl, bs] += dot(build(c_rows), c_rows)
 
         acc = acc_ref[...]
         feat_cost = jnp.sum(acc[..., :n_feat] * q, axis=-1)
@@ -297,7 +311,8 @@ def _slab_params(W: int, band: int, pair: bool, pair_rows=None):
     return c_rows, max(band, 2 * c_rows)              # room for 2 pair slabs
 
 
-def _plan(dvol, R, t, K, rays2d, H, W, band, tile_h, pair, c_rows):
+def _plan(dvol, R, t, K, rays2d, H, W, band, tile_h, pair, c_rows,
+          n_blocks=1):
     """XLA-side precompute shared by the kernel wrapper and the coverage
     diagnostic: projected sample coordinates plus the per-tile band starts
     (and per-pair slab offsets) the kernel will actually use. Keeping this
@@ -344,23 +359,30 @@ def _plan(dvol, R, t, K, rays2d, H, W, band, tile_h, pair, c_rows):
 
     rp = two = None
     if pair:
-        # Per-PAIR slab offsets relative to r0, same min-start /
-        # median-center policy at pair granularity; ``two`` marks pairs
-        # whose footprint needs the second c_rows slab.
-        y_pairs = yc.reshape(V, D, n_tiles, tile_h // 2, 2 * W)
+        # Per-(PAIR, column-block) slab offsets relative to r0, same
+        # min-start / mean-center policy at that granularity; ``two``
+        # marks footprints that need the second c_rows slab. With
+        # n_blocks == 1 this is the per-pair plan; n_blocks > 1 gives
+        # each column block its own offset, covering lateral row spread
+        # (roll shear, depth edges) the full-width pair slab cannot.
+        Wb = W // n_blocks
+        y_pairs = jnp.swapaxes(
+            yc.reshape(V, D, n_tiles, tile_h // 2, 2, n_blocks, Wb),
+            4, 5).reshape(V, D, n_tiles, tile_h // 2, n_blocks, 2 * Wb)
         fmin = jnp.floor(y_pairs.min(axis=-1)).astype(jnp.int32)
         fmax = jnp.floor(y_pairs.max(axis=-1)).astype(jnp.int32)
         pair_ok = (fmax + 1 - fmin) <= 2 * c_rows - 1
         pcen = jnp.floor(y_pairs.mean(axis=-1)).astype(jnp.int32)
         rp_start = jnp.where(pair_ok, fmin, pcen - c_rows)
-        rp = jnp.clip(rp_start - r0[..., None], 0, band - 2 * c_rows)
-        two = ((fmax + 1) - (r0[..., None] + rp)
-               > c_rows - 1).astype(jnp.int32)        # (V, D, T, pairs)
+        rp = jnp.clip(rp_start - r0[..., None, None], 0,
+                      band - 2 * c_rows)
+        two = ((fmax + 1) - (r0[..., None, None] + rp)
+               > c_rows - 1).astype(jnp.int32)    # (V, D, T, pairs, blk)
     return x, y, z, r0, rp, two
 
 
 def _oob_frac_one(x, y, r0, rp, two, valid, band, c_rows, tile_h, pair,
-                  H, W):
+                  H, W, n_blocks=1):
     """Fraction of (view, candidate, pixel) samples whose bilinear
     footprint needs a source row the kernel's slab(s) do NOT cover — the
     samples that silently degrade to zero cost (out-of-image semantics)
@@ -372,9 +394,12 @@ def _oob_frac_one(x, y, r0, rp, two, valid, band, c_rows, tile_h, pair,
     n_tiles = H // tile_h
     f32 = jnp.float32
     if pair:
-        yv = y.reshape(V, D, n_tiles, tile_h // 2, 2, W)
-        xv = x.reshape(V, D, n_tiles, tile_h // 2, 2, W)
-        lo = (r0[..., None] + rp).astype(f32)[..., None, None]
+        Wb = W // n_blocks
+        yv = jnp.swapaxes(
+            y.reshape(V, D, n_tiles, tile_h // 2, 2, n_blocks, Wb), 4, 5)
+        xv = jnp.swapaxes(
+            x.reshape(V, D, n_tiles, tile_h // 2, 2, n_blocks, Wb), 4, 5)
+        lo = (r0[..., None, None] + rp).astype(f32)[..., None, None]
         hi = lo + (c_rows * (1 + two)).astype(f32)[..., None, None] - 1.0
     else:
         yv = y.reshape(V, D, n_tiles, tile_h, W)
@@ -397,18 +422,19 @@ def _oob_frac_one(x, y, r0, rp, two, valid, band, c_rows, tile_h, pair,
 
 
 def _plan_batched(dvol, R, t, K, rays2d, H, W, band, tile_h, pair,
-                  c_rows):
+                  c_rows, n_blocks=1):
     """_plan with a leading batch axis on every returned array (rp/two
     stay None for the full-band kernel)."""
     B = dvol.shape[0]
     plans = [_plan(dvol[b], R[b], t[b], K[b], rays2d[b], H, W, band,
-                   tile_h, pair, c_rows) for b in range(B)]
+                   tile_h, pair, c_rows, n_blocks) for b in range(B)]
     return tuple(None if plans[0][i] is None
                  else jnp.stack([p[i] for p in plans])
                  for i in range(6))
 
 
-def _fracs_from_plan(plan, is_valid, band, c_rows, tile_h, pair, H, W):
+def _fracs_from_plan(plan, is_valid, band, c_rows, tile_h, pair, H, W,
+                     n_blocks=1):
     """(B,) out-of-band fractions from an already-computed batched plan —
     the guard reuses the SAME planning tensors the kernel will prefetch,
     so coverage costs one reduction, not a second projection pass."""
@@ -418,15 +444,24 @@ def _fracs_from_plan(plan, is_valid, band, c_rows, tile_h, pair, H, W):
         _oob_frac_one(x[b], y[b], r0[b],
                       None if rp is None else rp[b],
                       None if two is None else two[b],
-                      is_valid[b], band, c_rows, tile_h, pair, H, W)
+                      is_valid[b], band, c_rows, tile_h, pair, H, W,
+                      n_blocks)
         for b in range(B)])
+
+
+def blocks_supported(W: int, n_blocks: int) -> bool:
+    """Column-block gate: the kernel writes (2, W/n_blocks) accumulator
+    slices, whose sublane starts must be 8-aligned; odd widths fall back
+    to n_blocks == 1 rungs."""
+    return n_blocks >= 1 and W % n_blocks == 0 and (W // n_blocks) % 8 == 0
 
 
 def cost_volume_cw_oob_fraction(d_volume, R, t, intM, rays2d, is_valid,
                                 band: int = DEFAULT_BAND,
                                 tile_h: int = DEFAULT_TILE_H,
                                 pair: bool = None,
-                                pair_rows: int = None) -> jnp.ndarray:
+                                pair_rows: int = None,
+                                n_blocks: int = 1) -> jnp.ndarray:
     """Per-batch fraction of samples outside the kernel's row slabs (see
     _oob_frac_one). Cheap pure-XLA diagnostic computable without running
     either cost-volume path; 0.0 means the Pallas kernel is exact (up to
@@ -437,14 +472,15 @@ def cost_volume_cw_oob_fraction(d_volume, R, t, intM, rays2d, is_valid,
     dvol = jnp.moveaxis(d_volume, -1, 1).astype(jnp.float32)
     c_rows, band = _slab_params(W, band, pair, pair_rows)
     plan = _plan_batched(dvol, R, t, intM, rays2d, H, W, band, tile_h,
-                         pair, c_rows)
+                         pair, c_rows, n_blocks)
     return _fracs_from_plan(plan, is_valid, band, c_rows, tile_h, pair,
-                            H, W)
+                            H, W, n_blocks)
 
 
 def _cost_volume_batched(dvol, ref_feat, src_feat, src_mu, src_sigma,
                          R, t, valid, K, rays2d, kappa, band, tile_h,
-                         interpret, pair, pair_rows=None, plan=None):
+                         interpret, pair, pair_rows=None, plan=None,
+                         n_blocks=1):
     """dvol: (B, D, H, W) f32; ref_feat: (B, H, W, C); src_*: (B, V, ...).
     Returns (B, D, H, W) f32 = sum over views of weighted matching cost.
 
@@ -461,8 +497,12 @@ def _cost_volume_batched(dvol, ref_feat, src_feat, src_mu, src_sigma,
     c_rows, band = _slab_params(W, band, pair, pair_rows)
     if plan is None:
         plan = _plan_batched(dvol, R, t, K, rays2d, H, W, band, tile_h,
-                             pair, c_rows)
+                             pair, c_rows, n_blocks)
     x, y, z, r0, rp, two = plan       # leading B on every array
+    if rp is not None:
+        # The kernel indexes a flattened (pairs * blocks) prefetch axis.
+        rp = rp.reshape(rp.shape[:4] + (-1,))
+        two = two.reshape(two.shape[:4] + (-1,))
     n_tiles = H // tile_h
 
     # Packed channels padded to a full 128-lane tile: Mosaic requires the
@@ -506,7 +546,7 @@ def _cost_volume_batched(dvol, ref_feat, src_feat, src_mu, src_sigma,
                             scratch[1]])
         kernel = functools.partial(
             _kernel_pair, n_views=V, band=band, c_rows=c_rows, n_feat=C,
-            kappa=float(kappa), matmul_dtype=mdt)
+            kappa=float(kappa), matmul_dtype=mdt, n_blocks=n_blocks)
         args = (r0, rp, two, valid.astype(f32), x, y, z, queries, rc,
                 packed)
     else:
@@ -548,7 +588,8 @@ def cost_volume_cw_pallas(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
                           interpret: bool = False,
                           pair: bool = None,
                           pair_rows: int = None,
-                          plan=None) -> jnp.ndarray:
+                          plan=None,
+                          n_blocks: int = 1) -> jnp.ndarray:
     """Drop-in for ``ops.costvolume.cost_volume_cw`` (same contract:
     NHWC d_volume (B, H, W, D) in, (B, H, W, D) out, mean over V).
     ``plan`` optionally reuses a _plan_batched result (guard dispatch)."""
@@ -560,7 +601,7 @@ def cost_volume_cw_pallas(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
     cost = _cost_volume_batched(
         dvol, ref_feat, src_feat, src_mu, src_sigma, R, t, is_valid,
         intM, rays2d, kappa, band, tile_h, interpret, pair, pair_rows,
-        plan)
+        plan, n_blocks)
     return jnp.moveaxis(cost / float(V), 1, -1)
 
 
@@ -645,20 +686,23 @@ def cost_volume_cw_pallas_ladder(d_volume: jnp.ndarray,
     def make(i):
         if i == len(steps):
             return lambda a: xla_fn(*a, kappa)
-        p, b, rows = (tuple(steps[i]) + (None,))[:3]
+        p, b, rows, blocks = (tuple(steps[i]) + (None, 1))[:4]
+        blocks = blocks or 1
 
-        def dispatch(a, i=i, p=p, b=b, rows=rows):
+        def dispatch(a, i=i, p=p, b=b, rows=rows, blocks=blocks):
             c_rows, bandw = _slab_params(W, b, p, rows)
             plan = _plan_batched(dvol, R, t, intM, rays2d, H, W, bandw,
-                                 tile_h, p, c_rows)
+                                 tile_h, p, c_rows, blocks)
             frac = _fracs_from_plan(plan, is_valid, bandw, c_rows,
-                                    tile_h, p, H, W)
+                                    tile_h, p, H, W, blocks)
 
-            def branch(a2, p=p, b=b, rows=rows, plan=plan):
+            def branch(a2, p=p, b=b, rows=rows, plan=plan,
+                       blocks=blocks):
                 return cost_volume_cw_pallas(*a2, kappa, band=b,
                                              tile_h=tile_h,
                                              interpret=interpret, pair=p,
-                                             pair_rows=rows, plan=plan)
+                                             pair_rows=rows, plan=plan,
+                                             n_blocks=blocks)
 
             return jax.lax.cond(jnp.all(frac <= tol), branch,
                                 make(i + 1), a)

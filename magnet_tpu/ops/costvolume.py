@@ -114,22 +114,30 @@ _SLAB_BUDGET_BYTES = 8.5e6
 
 def ladder_steps(H: int, W: int, V: int, itemsize: int = 2):
     """The production escalation-ladder rung list for this shape: tuples
-    (pair, band, pair_rows), cheapest first; the exact XLA path is the
-    implicit final rung. Shared by the dispatch below and the
-    motion-regime bench (scripts/bench_motion.py) so they can never
+    (pair, band, pair_rows, n_blocks), cheapest first; the exact XLA
+    path is the implicit final rung. Shared by the dispatch below and
+    the motion-regime bench (scripts/bench_motion.py) so they can never
     disagree about what runs.
 
     Rung choice is measurement-driven (scripts/cv_motion_sweep.py
     --ladder, docs/KERNELS.md): the narrow pair slab covers near-static
-    frames (the serving steady state), band 32 covers ScanNet-slow and
-    most KITTI motion, band 48 recovers ~75-81% of ScanNet-normal frames
-    that would otherwise pay the XLA path; band 64 does not fit VMEM at
-    the ScanNet shape. MAGNET_TPU_CV_LADDER overrides with a comma list
-    of pair:band[:rows] | band:band specs.
+    frames (the serving steady state); the column-block pair rung
+    (band 48, 16-row pair slabs, per-(pair, column-block) offsets)
+    covers lateral row spread — camera roll shears sampled rows across
+    the tile width, which is exactly where the full-width pair slab
+    leaks — at roughly half band32's contraction cost. Its admission
+    set provably NESTS between the full-band rungs
+    (band32 <= pair48r16xN <= band48 as sets: a tile that fits a 32-row
+    band gives every pair a <= 31-row footprint, which the 16-row
+    double slab inside the 48 band always covers; and every pair window
+    lives inside the 48-row tile band), so it REPLACES band 32 in the
+    ladder and band 48 stays as the rescue rung. band 64 does not fit
+    VMEM at the ScanNet shape. MAGNET_TPU_CV_LADDER overrides with a
+    comma list of pair:band[:rows[:blocks]] | band:band specs.
 
     ``itemsize`` is the matching dtype's byte width: the slab is stored
     in the matching dtype, so f32 matching (--compute_dtype float32,
-    the bit-parity mode) doubles the slab and excludes the full-band
+    the bit-parity mode) doubles the slab and excludes the wide-band
     rungs at the ScanNet shape — measured: band 32 f32 at V=4, W=160
     (10.5 MB slab) fails compile with scoped VMEM 19.03M > 16M, while
     the same rung in bf16 runs."""
@@ -142,19 +150,26 @@ def ladder_steps(H: int, W: int, V: int, itemsize: int = 2):
             f = spec.strip().split(":")
             pair = {"pair": True, "band": False}[f[0]]
             steps.append((pair, int(f[1]),
-                          int(f[2]) if len(f) > 2 else None))
+                          int(f[2]) if len(f) > 2 else None,
+                          int(f[3]) if len(f) > 3 else 1))
         return tuple(steps)
 
     band = int(os.environ.get("MAGNET_TPU_CV_BAND", cvp.DEFAULT_BAND))
     pair = cvp.use_pair_kernel()
     rows1 = ((cvp.pair_rows_env() or 4) if pair else None)
-    steps = [(pair, band, rows1)]
-    for b in sorted({max(32, 2 * band), 48}):
-        if b <= steps[-1][1] or H < b:
+    steps = [(pair, band, rows1, 1)]
+    nb = next((n for n in (4, 2) if cvp.blocks_supported(W, n)), 1)
+    block_rung = (pair and nb > 1 and H >= 48 and 48 > band
+                  and V * 48 * W * 128 * itemsize <= _SLAB_BUDGET_BYTES)
+    if block_rung:
+        steps.append((True, 48, 16, nb))
+    rescue = [48] if block_rung else sorted({max(32, 2 * band), 48})
+    for b in rescue:
+        if b <= band or H < b:
             continue
         if V * b * W * 128 * itemsize > _SLAB_BUDGET_BYTES:
             continue
-        steps.append((False, b, None))
+        steps.append((False, b, None, 1))
     return tuple(steps)
 
 
@@ -327,18 +342,20 @@ def cost_volume_cw(d_volume: jnp.ndarray, ref_feat: jnp.ndarray,
         V = src_feat.shape[1]
         mdt_size = 2 if src_feat.dtype == jnp.bfloat16 else 4
         steps = ladder_steps(H, W, V, itemsize=mdt_size)
-        band = steps[0][1]
+        pair1, band, rows1, blocks1 = (tuple(steps[0]) + (None, 1))[:4]
         if cvp.supported(d_volume, H, W, band=band):
             args = (d_volume, ref_feat, src_feat, src_mu, src_sigma, R, t,
                     is_valid, intM, rays2d, kappa)
             tol = _cv_guard_tol()
             if tol is None:
                 return cvp.cost_volume_cw_pallas(*args, band=band,
-                                                 pair=steps[0][0],
-                                                 pair_rows=steps[0][2])
+                                                 pair=pair1,
+                                                 pair_rows=rows1,
+                                                 n_blocks=blocks1 or 1)
             # Escalation ladder (ladder_steps): cheapest exact variant
-            # per frame — narrow pair(band) -> full-band 32 -> full-band
-            # 48 where it fits VMEM -> XLA. Rung 1 uses the NARROW 4-row
+            # per frame — narrow pair(band) -> column-block pair(48) ->
+            # full-band 48 where it fits VMEM -> XLA. Rung 1 uses the
+            # NARROW 4-row
             # pair slab: it is ~2x cheaper than the 8-row variant and
             # coverage only decides which rung runs, never correctness —
             # static/slow frames (the serving steady state) ride it,

@@ -73,16 +73,19 @@ def find_rung_poses(steps, tol, H, W, V, K, rays, mu=2.0, sigma=0.22):
     valid = jnp.ones((1, V), jnp.float32)
 
     @functools.partial(jax.jit,
-                       static_argnames=("band", "pair", "pair_rows"))
-    def _oob(R, t, band, pair, pair_rows):
+                       static_argnames=("band", "pair", "pair_rows",
+                                        "n_blocks"))
+    def _oob(R, t, band, pair, pair_rows, n_blocks):
         return cost_volume_cw_oob_fraction(
             dvol, R, t, jnp.asarray(K[None]), jnp.asarray(rays[None]),
-            valid, band=band, pair=pair, pair_rows=pair_rows)
+            valid, band=band, pair=pair, pair_rows=pair_rows,
+            n_blocks=n_blocks)
 
     def fracs(theta):
         R, t = _roll_poses(theta, 1, V)
-        return [float(_oob(jnp.asarray(R), jnp.asarray(t), b, p, r)[0])
-                for p, b, r in steps]
+        return [float(_oob(jnp.asarray(R), jnp.asarray(t), b, p, r,
+                           n or 1)[0])
+                for p, b, r, n in steps]
 
     thetas = np.concatenate([[0.0], np.geomspace(1e-3, 1.2, 120)])
     out = {}
@@ -95,8 +98,18 @@ def find_rung_poses(steps, tol, H, W, V, K, rays, mu=2.0, sigma=0.22):
         if len(out) == len(steps) + 1:
             break
     missing = set(range(len(steps) + 1)) - set(out)
-    if missing:
+    if 0 in missing or len(steps) in missing:
         raise RuntimeError(f"no roll angle selects rung(s) {missing}")
+    if missing:
+        # A middle rung no PURE-ROLL pose selects: a cheaper rung's
+        # admission covers every smooth-geometry frame it would catch
+        # (e.g. the column-block rung under roll), so it is only
+        # reachable via depth discontinuities. The caller prices its
+        # occupancy at the next MEASURED rung — a conservative (slower)
+        # bound, since the ladder only escalates past it.
+        print(f"note: rung(s) {sorted(missing)} unreachable by pure "
+              "roll; their occupancy will be priced at the next "
+              "measured rung", flush=True)
     return out
 
 
@@ -130,9 +143,11 @@ def main():
 
     tol = cv_ops._cv_guard_tol()
     assert tol is not None, "guard disabled (MAGNET_TPU_CV_GUARD=0)"
-    steps = cv_ops.ladder_steps(H, W, V)
+    steps = [(tuple(s) + (None, 1))[:4] for s in
+             cv_ops.ladder_steps(H, W, V)]
     names = [f"{'pair' if p else 'band'}{b}" + (f"r{r}" if r else "")
-             for p, b, r in steps]
+             + (f"x{n}" if (n or 1) > 1 else "")
+             for p, b, r, n in steps]
 
     model = Magnet(n_iters=3)
     inputs = example_inputs(img_h=img_h, img_w=img_w, n_views=V)
@@ -208,7 +223,11 @@ def main():
         t1 = results[names[0]]["sec_per_frame"]
         d_iter = {}
         for nm in names[1:] + ["xla-escalated"]:
-            d_iter[nm] = (results[nm]["sec_per_frame"] - t1) / 3.0
+            if nm in results:   # rungs unreachable by pure roll fall
+                d_iter[nm] = (results[nm]["sec_per_frame"] - t1) / 3.0
+            else:               # through to the xla-escalated price
+                print(f"note: {nm} unmeasured; occupancy priced at "
+                      "xla-escalated (conservative)", flush=True)
         dataset = {"scannet": "scannet", "kitti": "kitti"}[args.shape]
         by_speed = {}
         for row in occ_rows:

@@ -84,9 +84,11 @@ def main():
     B, V, H, W, C = 1, 2, 120, 160, 64
     K, rays = _intrinsics(H, W, 144.4, 144.4, 80.0, 60.0)
     ks = gaussian_sampling_offsets(3.0, 5)
-    steps = cv_ops.ladder_steps(H, W, V, itemsize=4)
+    steps = [(tuple(s_) + (None, 1))[:4] for s_ in
+             cv_ops.ladder_steps(H, W, V, itemsize=4)]
     names = [f"{'pair' if p else 'band'}{b}" + (f"r{r}" if r else "")
-             for p, b, r in steps]
+             + (f"x{n}" if (n or 1) > 1 else "")
+             for p, b, r, n in steps]
     print(f"f32 V={V} ladder: {names}")
 
     import functools
@@ -107,19 +109,22 @@ def main():
     # Seed data rides as jit ARGUMENTS (not closure constants) so every
     # seed reuses the same compiled programs — one compile per
     # (rung, kappa), not per seed.
-    @functools.partial(jax.jit, static_argnames=("b", "p", "r"))
-    def _oob_jit(dv, R, t, b, p, r):
+    @functools.partial(jax.jit,
+                       static_argnames=("b", "p", "r", "n"))
+    def _oob_jit(dv, R, t, b, p, r, n=1):
         return cvp.cost_volume_cw_oob_fraction(
-            dv, R, t, Kj, raysj, validj, band=b, pair=p, pair_rows=r)
+            dv, R, t, Kj, raysj, validj, band=b, pair=p, pair_rows=r,
+            n_blocks=n)
 
-    @functools.partial(jax.jit, static_argnames=("p", "b", "r", "kappa"))
-    def _both(data, R, t, p, b, r, kappa):
+    @functools.partial(jax.jit,
+                       static_argnames=("p", "b", "r", "n", "kappa"))
+    def _both(data, R, t, p, b, r, kappa, n=1):
         dv, ref_, src_, smu_, ssig_ = data
         full = (dv, ref_, src_, smu_, ssig_, R, t, validj, Kj, raysj)
         xla = cv_ops._cost_volume_cw_xla(*full, kappa)
         pal = cvp.cost_volume_cw_pallas(
             *full, kappa, band=b, pair=p, pair_rows=r,
-            interpret=interpret)
+            interpret=interpret, n_blocks=n)
         d = jnp.abs(pal - xla)
         return d.max(), d.mean(), jnp.abs(xla).max()
 
@@ -136,28 +141,29 @@ def main():
         data = tuple(jnp.asarray(a) for a in
                      (dvol[None], ref, src, smu, ssig))
 
-        def frac_at(theta, p, b, r, data=data):
+        def frac_at(theta, p, b, r, n=1, data=data):
             R, t = poses(theta)
             return float(_oob_jit(data[0], jnp.asarray(R),
-                                  jnp.asarray(t), b, p, r)[0])
+                                  jnp.asarray(t), b, p, r, n or 1)[0])
 
-        def deltas_at(theta, p, b, r, kappa, data=data):
+        def deltas_at(theta, p, b, r, kappa, n=1, data=data):
             R, t = poses(theta)
             mx, mn, sc = _both(data, jnp.asarray(R), jnp.asarray(t),
-                               p, b, r, float(kappa))
+                               p, b, r, float(kappa), n or 1)
             return float(mx), float(mn), float(sc)
 
-        for i, (p, b, r) in enumerate(steps):
+        for i, (p, b, r, n) in enumerate(steps):
             th_exact = largest_roll(
-                lambda t_, p=p, b=b, r=r: frac_at(t_, p, b, r) == 0.0)
+                lambda t_, p=p, b=b, r=r, n=n:
+                frac_at(t_, p, b, r, n) == 0.0)
             th_bound = largest_roll(
-                lambda t_, p=p, b=b, r=r: frac_at(t_, p, b, r)
+                lambda t_, p=p, b=b, r=r, n=n: frac_at(t_, p, b, r, n)
                 <= args.tol)
-            fr_bound = frac_at(th_bound, p, b, r)
-            mx0_k, mn0_k, _ = deltas_at(th_exact, p, b, r, 5.0)
-            mx0_c, mn0_c, _ = deltas_at(th_exact, p, b, r, 1e9)
-            mxb_k, mnb_k, sc = deltas_at(th_bound, p, b, r, 5.0)
-            mxb_c, mnb_c, _ = deltas_at(th_bound, p, b, r, 1e9)
+            fr_bound = frac_at(th_bound, p, b, r, n)
+            mx0_k, mn0_k, _ = deltas_at(th_exact, p, b, r, 5.0, n)
+            mx0_c, mn0_c, _ = deltas_at(th_exact, p, b, r, 1e9, n)
+            mxb_k, mnb_k, sc = deltas_at(th_bound, p, b, r, 5.0, n)
+            mxb_c, mnb_c, _ = deltas_at(th_bound, p, b, r, 1e9, n)
             row = results["rungs"].setdefault(names[i], {})
 
             def acc(key, v):

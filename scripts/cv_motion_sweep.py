@@ -50,11 +50,14 @@ from magnet_tpu.kernels.costvolume_pallas import (  # noqa: E402
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "pair", "pair_rows"))
-def _oob_jit(dvol, R, t, K, rays, valid, band, pair, pair_rows=None):
+                   static_argnames=("band", "pair", "pair_rows",
+                                    "n_blocks"))
+def _oob_jit(dvol, R, t, K, rays, valid, band, pair, pair_rows=None,
+             n_blocks=1):
     return cost_volume_cw_oob_fraction(dvol, R, t, K, rays, valid,
                                        band=band, pair=pair,
-                                       pair_rows=pair_rows)
+                                       pair_rows=pair_rows,
+                                       n_blocks=n_blocks)
 from magnet_tpu.models.magnet import (  # noqa: E402
     gaussian_sampling_offsets)
 from magnet_tpu.ops.costvolume import _cost_volume_cw_xla  # noqa: E402
@@ -177,13 +180,15 @@ def regimes():
 
 
 def _parse_rung(spec):
-    """'pair:16:4' -> (pair=True, band=16, pair_rows=4); 'band:32' ->
-    (False, 32, None)."""
+    """'pair:16:4' -> (pair=True, band=16, pair_rows=4, n_blocks=1);
+    'band:32' -> (False, 32, None, 1); 'pair:48:16:2' adds 2 column
+    blocks per pair."""
     f = spec.split(":")
     pair = {"pair": True, "band": False}[f[0]]
     band = int(f[1])
     rows = int(f[2]) if len(f) > 2 else None
-    return pair, band, rows
+    blocks = int(f[3]) if len(f) > 3 else 1
+    return pair, band, rows, blocks
 
 
 def ladder_mode(args):
@@ -194,18 +199,27 @@ def ladder_mode(args):
     occupancy input to the per-regime throughput model
     (scripts/bench_motion.py): occupancy x measured per-rung frame times
     = expected fps on data that moves like the regime."""
-    rungs = [_parse_rung(s) for s in args.rungs.split(",")]
-    names = [f"{'pair' if p else 'band'}{b}" + (f"r{r}" if r else "")
-             for p, b, r in rungs]
+    from magnet_tpu.ops.costvolume import ladder_steps
     k_list = gaussian_sampling_offsets(3.0, 5)
-    hdr = (f"{'dataset':8} {'speed':12} {'sig/mu':7} "
-           + " ".join(f"{n:>10}" for n in names) + f" {'xla':>10}")
-    print(hdr)
-    print("-" * len(hdr))
     rows_out = []
     for name, speed, scene_fn, H, W, (K, rays), pose_fn, (sig_lo,
                                                           sig_hi) in \
             regimes():
+        if args.rungs == "auto":
+            # The production ladder for THIS dataset's dpv shape (view
+            # count from the regime's pose generator).
+            V0 = pose_fn(np.random.RandomState(0))[0].shape[0]
+            rungs = [(tuple(s) + (None, 1))[:4]
+                     for s in ladder_steps(H, W, V0)]
+        else:
+            rungs = [_parse_rung(s) for s in args.rungs.split(",")]
+        names = [f"{'pair' if p else 'band'}{b}" + (f"r{r}" if r else "")
+                 + (f"x{n}" if (n or 1) > 1 else "")
+                 for p, b, r, n in rungs]
+        hdr = (f"{'dataset':8} {'speed':12} {'sig/mu':7} "
+               + " ".join(f"{n:>12}" for n in names) + f" {'xla':>10}")
+        print(hdr)
+        print("-" * len(hdr))
         for sig_ratio in (0.25, 0.10, 0.03):          # iter 1 -> 3
             counts = [0] * (len(rungs) + 1)
             for seed in range(args.seeds):
@@ -222,9 +236,9 @@ def ladder_mode(args):
                      jnp.asarray(rays[None]),
                      jnp.ones((1, V), jnp.float32))
                 chosen = len(rungs)                   # xla
-                for i, (p, b, r) in enumerate(rungs):
+                for i, (p, b, r, n) in enumerate(rungs):
                     frac = float(_oob_jit(*a, band=b, pair=p,
-                                          pair_rows=r)[0])
+                                          pair_rows=r, n_blocks=n)[0])
                     if frac <= args.tol:
                         chosen = i
                         break
@@ -250,9 +264,11 @@ def main():
     ap.add_argument("--ladder", action="store_true",
                     help="report per-regime rung occupancy instead of "
                          "raw fractions")
-    ap.add_argument("--rungs", default="pair:16:4,band:32",
-                    help="comma list of pair:band[:rows]|band:band specs "
-                         "(the production ladder by default)")
+    ap.add_argument("--rungs", default="auto",
+                    help="comma list of pair:band[:rows[:blocks]]|"
+                         "band:band specs; 'auto' (default) uses the "
+                         "production ladder_steps for each dataset's "
+                         "dpv shape")
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--json", default="")
     args = ap.parse_args()

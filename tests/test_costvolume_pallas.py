@@ -267,30 +267,37 @@ def test_ladder_band48_rung():
 
 
 def test_ladder_steps_defaults():
-    """ladder_steps: band 48 joins where the slab fits VMEM, tiny shapes
-    stay single-rung, and MAGNET_TPU_CV_LADDER overrides."""
+    """ladder_steps: the column-block pair rung replaces band 32 where it
+    fits VMEM (band 48 stays as the rescue rung — its admission set is a
+    superset), block count follows the width's sublane alignment, tiny
+    shapes stay single-rung, and MAGNET_TPU_CV_LADDER overrides."""
     import os
 
     from magnet_tpu.ops.costvolume import ladder_steps
     assert ladder_steps(120, 160, 4) == (
-        (True, 16, 4), (False, 32, None), (False, 48, None))
+        (True, 16, 4, 1), (True, 48, 16, 4), (False, 48, None, 1))
+    # KITTI width: 304/4 = 76 is not 8-sublane aligned -> 2 blocks
     assert ladder_steps(88, 304, 2) == (
-        (True, 16, 4), (False, 32, None), (False, 48, None))
+        (True, 16, 4, 1), (True, 48, 16, 2), (False, 48, None, 1))
     # V=4 at KITTI width even the 32-slab (9.96 MB) busts the budget
     # (the same scoped-VMEM ceiling band 64 hit at the ScanNet shape);
     # only the pair rung runs, XLA covers escalation
-    assert ladder_steps(88, 304, 4) == ((True, 16, 4),)
-    assert ladder_steps(16, 16, 2) == ((True, 16, 4),)
-    # f32 matching (--compute_dtype float32) doubles the slab: the
-    # full-band rungs drop out at V=4 (band32 f32 measured to OOM
-    # scoped VMEM on v5e) but survive at V=2
-    assert ladder_steps(120, 160, 4, itemsize=4) == ((True, 16, 4),)
+    assert ladder_steps(88, 304, 4) == ((True, 16, 4, 1),)
+    assert ladder_steps(16, 16, 2) == ((True, 16, 4, 1),)
+    # f32 matching (--compute_dtype float32) doubles the slab: the wide
+    # rungs drop out at V=4 (band32 f32 measured to OOM scoped VMEM on
+    # v5e; the 48-slabs are bigger still) but survive at V=2
+    assert ladder_steps(120, 160, 4, itemsize=4) == ((True, 16, 4, 1),)
     assert ladder_steps(120, 160, 2, itemsize=4) == (
-        (True, 16, 4), (False, 32, None), (False, 48, None))
+        (True, 16, 4, 1), (True, 48, 16, 4), (False, 48, None, 1))
     os.environ["MAGNET_TPU_CV_LADDER"] = "pair:16:8,band:32"
     try:
-        assert ladder_steps(120, 160, 4) == ((True, 16, 8),
-                                             (False, 32, None))
+        assert ladder_steps(120, 160, 4) == ((True, 16, 8, 1),
+                                             (False, 32, None, 1))
+        # 4-field spec carries the column-block count
+        os.environ["MAGNET_TPU_CV_LADDER"] = "pair:16:4,pair:48:16:2"
+        assert ladder_steps(120, 160, 4) == ((True, 16, 4, 1),
+                                             (True, 48, 16, 2))
     finally:
         del os.environ["MAGNET_TPU_CV_LADDER"]
 
@@ -318,6 +325,65 @@ def test_ladder_narrow_pair_rows_escalates():
     want = np.asarray(cost_volume_cw(*args, 5.0))
     got = np.asarray(cost_volume_cw_pallas_ladder(
         *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, steps=_NARROW,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _oob_blocks(args, band, rows, n_blocks):
+    return float(cost_volume_cw_oob_fraction(
+        args[0], args[5], args[6], args[8], args[9], args[7],
+        band=band, pair=True, pair_rows=rows, n_blocks=n_blocks)[0])
+
+
+def test_column_blocks_cover_lateral_shear():
+    """Per-(pair, column-block) slab offsets: camera roll shears sampled
+    rows ACROSS the tile width, which a full-width pair slab cannot
+    cover; per-block offsets can. The block planner must (a) strictly
+    reduce the out-of-band fraction under roll and (b) stay exact
+    (vs the XLA path) when its coverage fraction is 0."""
+    args = _degraded_inputs(H=32, W=64, roll=0.35)
+    f1 = _oob_blocks(args, 16, 4, 1)
+    f2 = _oob_blocks(args, 16, 4, 2)
+    f4 = _oob_blocks(args, 16, 4, 4)
+    assert f1 > 1e-3            # full-width pair slab leaks at this roll
+    assert f2 < f1 and f4 <= f2
+
+    # a milder roll where blocks are exact but the full-width pair is
+    # not: shear span ~ W*sin(0.1) ~ 6.4 rows > the 6-row double slab of
+    # rows=4; per 16-column block it is ~1.6 rows. band 32 keeps the
+    # tile-level slab (which blocks cannot move) out of the way.
+    args2 = _degraded_inputs(H=32, W=64, roll=0.1)
+    assert _oob_blocks(args2, 32, 4, 1) > 0.0
+    assert _oob_blocks(args2, 32, 4, 4) == 0.0
+    want = np.asarray(cost_volume_cw(*args2, 5.0))
+    got = np.asarray(cost_volume_cw_pallas(
+        *args2, 5.0, band=32, pair=True, pair_rows=4, n_blocks=4,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_column_blocks_exact_in_band():
+    """n_blocks > 1 must not perturb in-band results (any block split of
+    an exactly-covered frame is still exactly covered)."""
+    args = _inputs(B=2, V=2, H=24, W=32)
+    want = np.asarray(cost_volume_cw(*args, 5.0))
+    for nb in (2, 4):
+        got = np.asarray(cost_volume_cw_pallas(
+            *args, 5.0, pair=True, n_blocks=nb, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_ladder_block_rung_dispatch():
+    """A ladder whose middle rung is a column-block pair kernel: a
+    shear frame that leaks the full-width rung but is covered by the
+    block rung must ride it and match the exact XLA result."""
+    args = _degraded_inputs(H=32, W=64, roll=0.1)
+    steps = ((True, 32, 4), (True, 32, 4, 4), (False, 32))
+    assert _oob_blocks(args, 32, 4, 1) > 0.0
+    assert _oob_blocks(args, 32, 4, 4) == 0.0
+    want = np.asarray(cost_volume_cw(*args, 5.0))
+    got = np.asarray(cost_volume_cw_pallas_ladder(
+        *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, steps=steps,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-4)
 
