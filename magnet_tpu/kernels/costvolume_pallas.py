@@ -174,6 +174,96 @@ def _kernel_pair(r0_ref, rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
     out_ref[0, 0] = total
 
 
+def _kernel_pair_tall(rp_ref, two_ref, valid_ref, x_ref, y_ref, z_ref,
+                      q_ref, rc_ref, p_any, out_ref, slab_vmem, acc_ref,
+                      sem, *, c_rows: int, n_feat: int, kappa: float,
+                      matmul_dtype, n_blocks: int = 1):
+    """Full-height rescue variant: the band spans the WHOLE image
+    (band == H, so the per-tile row offset r0 is identically 0 and the
+    slab content depends only on the view). The grid is therefore
+    (B, V, tiles, D) with the view's ENTIRE packed source map DMA'd into
+    VMEM once, at the view's first grid step, and kept resident across
+    its tiles x D steps — slab traffic collapses from per-(tile, d)
+    band refetches (~1.5 GB/iter at full height) to V map fetches per
+    call (~20 MB), and VMEM holds ONE view map (H*W*128*itemsize; 4.9 MB
+    at the ScanNet dpv shape) instead of V band slabs. Outputs are
+    per-view — summed in XLA by the wrapper — so no output-block
+    revisiting (and no cross-step accumulation hazard) exists.
+
+    Admission nests above the banded rungs by window size alone: each
+    (pair, column-block) contracts a 2*c_rows-row window at an
+    UNRESTRICTED offset in [0, H - 2*c_rows], so c_rows=16 admits every
+    frame the band-48 16-row pair rung admits (same 32-row window, free
+    offset), and c_rows=24 (48-row window) admits every frame the
+    full-band-48 kernel admits (any tile footprint <= 47 dense rows fits
+    one 48-row window per pair). Relies on the TPU grid executing
+    row-major (D fastest), which is the documented Pallas TPU order."""
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    t = pl.program_id(2)
+    d = pl.program_id(3)
+
+    @pl.when((t == 0) & (d == 0))
+    def _fetch():
+        cp = pltpu.make_async_copy(p_any.at[b, v], slab_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    tile_h, W = x_ref.shape[3:]
+    nc = slab_vmem.shape[-1]
+    chunk = c_rows * W
+    n_pairs = tile_h // 2
+    Wb = W // n_blocks
+    q = q_ref[0].astype(jnp.float32)                  # (tile_h, W, C_feat)
+    r_rel = rc_ref[0]                                 # (chunk,) f32
+    c_idx = rc_ref[1]
+
+    x = x_ref[0, 0, 0]                                # (tile_h, W) f32
+    y = y_ref[0, 0, 0]
+    z = z_ref[0, 0, 0]
+
+    for p in range(n_pairs):
+        sl = slice(2 * p, 2 * p + 2)
+        for blk in range(n_blocks):
+            bs = (slice(None) if n_blocks == 1
+                  else slice(blk * Wb, (blk + 1) * Wb))
+            xp = x[sl, bs]                            # (2, Wb)
+            yp = y[sl, bs]
+            rp = rp_ref[b, v, d, t, p * n_blocks + blk]
+            base = rp.astype(jnp.float32)             # r0 == 0
+            wxp = jnp.maximum(0.0,
+                              1.0 - jnp.abs(xp[..., None] - c_idx))
+
+            def build(off, yp=yp, base=base, wxp=wxp):
+                wy = jnp.maximum(
+                    0.0,
+                    1.0 - jnp.abs(yp[..., None] - (r_rel + base + off)))
+                return (wy * wxp).astype(matmul_dtype)  # (2, Wb, chunk)
+
+            def dot(m, off, rp=rp):
+                slab = slab_vmem[pl.ds(rp + off, c_rows)].reshape(
+                    chunk, nc)
+                return jax.lax.dot_general(
+                    m, slab.astype(matmul_dtype),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_dot_precision(matmul_dtype))  # (2,Wb,nc)
+
+            acc_ref[sl, bs] = dot(build(0), 0)
+
+            @pl.when(two_ref[b, v, d, t, p * n_blocks + blk] > 0)
+            def _second(build=build, dot=dot, sl=sl, bs=bs):
+                acc_ref[sl, bs] += dot(build(c_rows), c_rows)
+
+    acc = acc_ref[...]
+    feat_cost = jnp.sum(acc[..., :n_feat] * q, axis=-1)
+    w_mu = acc[..., n_feat]
+    w_sigma = acc[..., n_feat + 1]
+    consistent = (jnp.abs(z - w_mu) < w_sigma * kappa)
+    out_ref[0, 0, 0] = (feat_cost * consistent.astype(jnp.float32)
+                        * valid_ref[b, v])
+
+
 def _kernel(r0_ref, valid_ref, x_ref, y_ref, z_ref, q_ref,
             rc_ref, p_any, out_ref, band_vmem, sem, *,
             n_views: int, band: int, c_rows: int, n_feat: int,
@@ -456,6 +546,30 @@ def blocks_supported(W: int, n_blocks: int) -> bool:
     return n_blocks >= 1 and W % n_blocks == 0 and (W // n_blocks) % 8 == 0
 
 
+# Scoped-VMEM ceiling for the tall rung's estimator below, calibrated on
+# v5e (probe, round 4): KITTI bf16 r16x2 (est 13.9 MB) compiles, KITTI
+# bf16 r24x2 (est 16.9 MB) fails; ScanNet f32 r24x4 (est 11.7 MB) and
+# bf16 r24x4 (est 8.0 MB) compile.
+_TALL_VMEM_LIMIT = 14.5e6
+
+
+def tall_supported(H: int, W: int, c_rows: int, n_blocks: int,
+                   itemsize: int = 2) -> bool:
+    """Feasibility gate for the full-height rung (_kernel_pair_tall):
+    geometry (window fits the image, full MXU contraction passes,
+    aligned column blocks) plus a VMEM estimate — the resident view slab
+    + one live pair weight build (f32) + the f32 accumulator — against
+    the calibrated ceiling."""
+    if H < 2 * c_rows or (c_rows * W) % 128 != 0:
+        return False
+    if not blocks_supported(W, n_blocks):
+        return False
+    est = (H * W * 128 * itemsize
+           + 2 * (W // n_blocks) * (c_rows * W) * 4
+           + DEFAULT_TILE_H * W * 128 * 4)
+    return est <= _TALL_VMEM_LIMIT
+
+
 def cost_volume_cw_oob_fraction(d_volume, R, t, intM, rays2d, is_valid,
                                 band: int = DEFAULT_BAND,
                                 tile_h: int = DEFAULT_TILE_H,
@@ -520,6 +634,37 @@ def _cost_volume_batched(dvol, ref_feat, src_feat, src_mu, src_sigma,
     # column index of each contraction column within a chunk.
     j = jnp.arange(c_rows * W)
     rc = jnp.stack([(j // W).astype(f32), (j % W).astype(f32)])
+
+    if pair and band == H and H >= 2 * c_rows:
+        # Full-height rescue kernel: view axis in the grid, one view map
+        # resident in VMEM (see _kernel_pair_tall).
+        coord_spec = pl.BlockSpec(
+            (1, 1, 1, tile_h, W),
+            lambda b, v_, t_, d_, *_: (b, v_, d_, t_, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3, grid=(B, V, n_tiles, D),
+            in_specs=[
+                coord_spec, coord_spec, coord_spec,
+                pl.BlockSpec((1, tile_h, W, C),
+                             lambda b, v_, t_, d_, *_: (b, t_, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # rc patterns
+                pl.BlockSpec(memory_space=pltpu.ANY),   # stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, tile_h, W),
+                lambda b, v_, t_, d_, *_: (b, v_, d_, t_, 0)),
+            scratch_shapes=[pltpu.VMEM((H, W, 128), mdt),
+                            pltpu.VMEM((tile_h, W, 128), f32),
+                            pltpu.SemaphoreType.DMA])
+        kernel = functools.partial(
+            _kernel_pair_tall, c_rows=c_rows, n_feat=C,
+            kappa=float(kappa), matmul_dtype=mdt, n_blocks=n_blocks)
+        per_view = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, V, D, H, W), f32),
+            interpret=interpret,
+        )(rp, two, valid.astype(f32), x, y, z, queries, rc, packed)
+        return per_view.sum(axis=1)
 
     grid = (B, n_tiles, D)
     coord_spec = pl.BlockSpec(

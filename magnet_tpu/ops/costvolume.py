@@ -121,26 +121,29 @@ def ladder_steps(H: int, W: int, V: int, itemsize: int = 2):
 
     Rung choice is measurement-driven (scripts/cv_motion_sweep.py
     --ladder, docs/KERNELS.md): the narrow pair slab covers near-static
-    frames (the serving steady state); the column-block pair rung
-    (band 48, 16-row pair slabs, per-(pair, column-block) offsets)
-    covers lateral row spread — camera roll shears sampled rows across
-    the tile width, which is exactly where the full-width pair slab
-    leaks — at roughly half band32's contraction cost. Its admission
-    set provably NESTS between the full-band rungs
-    (band32 <= pair48r16xN <= band48 as sets: a tile that fits a 32-row
-    band gives every pair a <= 31-row footprint, which the 16-row
-    double slab inside the 48 band always covers; and every pair window
-    lives inside the 48-row tile band), so it REPLACES band 32 in the
-    ladder and band 48 stays as the rescue rung. band 64 does not fit
-    VMEM at the ScanNet shape. MAGNET_TPU_CV_LADDER overrides with a
-    comma list of pair:band[:rows[:blocks]] | band:band specs.
+    frames (the serving steady state); the escalation rungs are the
+    FULL-HEIGHT pair kernels (_kernel_pair_tall: band == H, one view
+    map resident in VMEM, per-(pair, column-block) windows of
+    2*pair_rows rows at UNRESTRICTED offsets) with growing window
+    sizes 16/32/48. Admission nests by window size alone (a window that
+    fits in a rung's 2r rows fits in any wider rung's), and the widest
+    rung (48-row windows) also admits everything the retired full-band
+    48 kernel admitted — any tile footprint <= 47 dense rows fits one
+    free 48-row window per pair — while measuring FASTER (4.77 vs
+    5.50 ms isolated) because the resident view map cuts slab DMA
+    ~60x. Where the tall rung is infeasible (tall_supported: VMEM
+    estimate vs the calibrated ceiling — e.g. KITTI width excludes the
+    48-row window; tiny test shapes) the pre-round-4 banded rungs are
+    the fallback. MAGNET_TPU_CV_LADDER overrides with a comma list of
+    pair:band[:rows[:blocks]] | band:band specs (band == H selects the
+    tall kernel).
 
-    ``itemsize`` is the matching dtype's byte width: the slab is stored
-    in the matching dtype, so f32 matching (--compute_dtype float32,
-    the bit-parity mode) doubles the slab and excludes the wide-band
-    rungs at the ScanNet shape — measured: band 32 f32 at V=4, W=160
-    (10.5 MB slab) fails compile with scoped VMEM 19.03M > 16M, while
-    the same rung in bf16 runs."""
+    ``itemsize`` is the matching dtype's byte width: f32 matching
+    (--compute_dtype float32, the bit-parity mode) doubles the slab AND
+    quadruples the MXU contraction cost (HIGHEST precision), so only
+    the 16-row-window tall rung stays ahead of the exact XLA path
+    (measured 2.94 vs 5.04 ms; the 32/48-row windows lose at 6.74/8.64)
+    — wider escalation falls through to XLA, which is exact anyway."""
     from magnet_tpu.kernels import costvolume_pallas as cvp
 
     env = os.environ.get("MAGNET_TPU_CV_LADDER", "").strip()
@@ -159,6 +162,16 @@ def ladder_steps(H: int, W: int, V: int, itemsize: int = 2):
     rows1 = ((cvp.pair_rows_env() or 4) if pair else None)
     steps = [(pair, band, rows1, 1)]
     nb = next((n for n in (4, 2) if cvp.blocks_supported(W, n)), 1)
+    # f32 matching (bit-parity mode): HIGHEST-precision MXU contraction
+    # costs ~4x bf16 per MAC, and the measured r16/r24 tall rungs land
+    # SLOWER than the XLA gather path (6.74/8.64 vs 5.04 ms at the
+    # ScanNet V=2 f32 shape) — only the narrowest window stays ahead.
+    tall_rows = (8,) if itemsize >= 4 else (8, 16, 24)
+    tall = [r for r in tall_rows if H > band
+            and cvp.tall_supported(H, W, r, nb, itemsize)]
+    if pair and tall:
+        steps += [(True, H, r, nb) for r in tall]
+        return tuple(steps)
     block_rung = (pair and nb > 1 and H >= 48 and 48 > band
                   and V * 48 * W * 128 * itemsize <= _SLAB_BUDGET_BYTES)
     if block_rung:

@@ -98,8 +98,18 @@ def find_rung_poses(steps, tol, H, W, V, K, rays, mu=2.0, sigma=0.22):
         if len(out) == len(steps) + 1:
             break
     missing = set(range(len(steps) + 1)) - set(out)
-    if 0 in missing or len(steps) in missing:
-        raise RuntimeError(f"no roll angle selects rung(s) {missing}")
+    if 0 in missing:
+        raise RuntimeError("even theta=0 does not select rung 1")
+    if len(steps) in missing:
+        # The rescue rung covers every smooth-geometry pure-roll pose
+        # (free window offsets), so no roll escalates to XLA; the caller
+        # measures the fully-escalated program by forcing the guard
+        # tolerance negative instead (MAGNET_TPU_CV_GUARD=-1 at trace
+        # time), which is pose-independent and pays exactly the real
+        # escalation cascade (every rung's plan + the XLA path).
+        print("note: XLA escalation unreachable by pure roll; will "
+              "measure it with a forced negative guard tolerance",
+              flush=True)
     if missing:
         # A middle rung no PURE-ROLL pose selects: a cheaper rung's
         # admission covers every smooth-geometry frame it would catch
@@ -203,6 +213,23 @@ def main():
         results[nm] = {"sec_per_frame": dt, "fps": 1.0 / dt,
                        "roll_deg": float(np.degrees(th))}
         print(f"{nm:14} {1.0 / dt:7.2f} fps", flush=True)
+
+    if "xla-escalated" not in results:
+        # Forced full escalation (see find_rung_poses): a fresh trace
+        # with a negative guard tolerance rejects every rung, so every
+        # frame pays all rung plans + coverage checks + the XLA path —
+        # the same cost a really-escalating frame pays.
+        os.environ["MAGNET_TPU_CV_GUARD"] = "-1"
+        rune1, runeN = forward_n(1), forward_n(args.loop_n)
+        float(rune1(variables, *inputs)[0, 0, 0, 0])
+        float(runeN(variables, *inputs)[0, 0, 0, 0])
+        dt = measure(rune1, runeN, inputs)
+        os.environ["MAGNET_TPU_CV_GUARD"] = str(tol)
+        results["xla-escalated"] = {
+            "sec_per_frame": dt, "fps": 1.0 / dt,
+            "method": "forced MAGNET_TPU_CV_GUARD=-1"}
+        print(f"{'xla-escalated':14} {1.0 / dt:7.2f} fps (forced)",
+              flush=True)
 
     # Pure-XLA cost-volume floor: trace a fresh program with the kernel
     # dispatch disabled (_use_pallas_cv reads the env at trace time).

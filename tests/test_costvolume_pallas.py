@@ -267,29 +267,35 @@ def test_ladder_band48_rung():
 
 
 def test_ladder_steps_defaults():
-    """ladder_steps: the column-block pair rung replaces band 32 where it
-    fits VMEM (band 48 stays as the rescue rung — its admission set is a
-    superset), block count follows the width's sublane alignment, tiny
-    shapes stay single-rung, and MAGNET_TPU_CV_LADDER overrides."""
+    """ladder_steps: the full-height (tall) pair rungs with 16/32/48-row
+    free-offset windows replace the banded escalation where they fit the
+    calibrated VMEM ceiling; block count follows the width's sublane
+    alignment; f32 matching keeps only the 16-row window (wider windows
+    measured slower than XLA); tiny shapes stay single-rung; and
+    MAGNET_TPU_CV_LADDER overrides."""
     import os
 
     from magnet_tpu.ops.costvolume import ladder_steps
     assert ladder_steps(120, 160, 4) == (
-        (True, 16, 4, 1), (True, 48, 16, 4), (False, 48, None, 1))
-    # KITTI width: 304/4 = 76 is not 8-sublane aligned -> 2 blocks
+        (True, 16, 4, 1), (True, 120, 8, 4), (True, 120, 16, 4),
+        (True, 120, 24, 4))
+    # KITTI width: 304/4 = 76 is not 8-sublane aligned -> 2 blocks; the
+    # 48-row window's weight build busts the VMEM ceiling (measured
+    # compile failure) so escalation tops out at the 32-row window
     assert ladder_steps(88, 304, 2) == (
-        (True, 16, 4, 1), (True, 48, 16, 2), (False, 48, None, 1))
-    # V=4 at KITTI width even the 32-slab (9.96 MB) busts the budget
-    # (the same scoped-VMEM ceiling band 64 hit at the ScanNet shape);
-    # only the pair rung runs, XLA covers escalation
-    assert ladder_steps(88, 304, 4) == ((True, 16, 4, 1),)
+        (True, 16, 4, 1), (True, 88, 8, 2), (True, 88, 16, 2))
+    # the tall slab is VIEW-INDEPENDENT (one resident map), so V=4 at
+    # KITTI width — which excluded every V-resident banded rung — now
+    # escalates through the same tall rungs
+    assert ladder_steps(88, 304, 4) == (
+        (True, 16, 4, 1), (True, 88, 8, 2), (True, 88, 16, 2))
     assert ladder_steps(16, 16, 2) == ((True, 16, 4, 1),)
-    # f32 matching (--compute_dtype float32) doubles the slab: the wide
-    # rungs drop out at V=4 (band32 f32 measured to OOM scoped VMEM on
-    # v5e; the 48-slabs are bigger still) but survive at V=2
-    assert ladder_steps(120, 160, 4, itemsize=4) == ((True, 16, 4, 1),)
+    # f32 matching (--compute_dtype float32): only the 16-row window
+    # stays ahead of the exact XLA path (see ladder_steps docstring)
+    assert ladder_steps(120, 160, 4, itemsize=4) == (
+        (True, 16, 4, 1), (True, 120, 8, 4))
     assert ladder_steps(120, 160, 2, itemsize=4) == (
-        (True, 16, 4, 1), (True, 48, 16, 4), (False, 48, None, 1))
+        (True, 16, 4, 1), (True, 120, 8, 4))
     os.environ["MAGNET_TPU_CV_LADDER"] = "pair:16:8,band:32"
     try:
         assert ladder_steps(120, 160, 4) == ((True, 16, 8, 1),
@@ -385,6 +391,57 @@ def test_ladder_block_rung_dispatch():
     got = np.asarray(cost_volume_cw_pallas_ladder(
         *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, steps=steps,
         interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tall_kernel_exact_and_batched():
+    """Full-height rescue kernel (band == H: view axis in the grid, one
+    resident view map, per-view outputs summed in XLA) must match the
+    exact XLA path bit-for-bit (f32) on in-coverage frames, including
+    B > 1 (per-(b, v) fetch) and invalid-view masking."""
+    args = _inputs(B=2, V=3, H=32, W=32)
+    want = np.asarray(cost_volume_cw(*args, 5.0))
+    got = np.asarray(cost_volume_cw_pallas(
+        *args, 5.0, band=32, pair=True, pair_rows=8, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    for nb in (2, 4):
+        got = np.asarray(cost_volume_cw_pallas(
+            *args, 5.0, band=32, pair=True, pair_rows=8, n_blocks=nb,
+            interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_tall_kernel_free_offset_beats_banded():
+    """The tall kernel's windows sit at UNRESTRICTED offsets: a frame
+    whose per-pair footprints are small but scattered beyond any 16-row
+    tile band (large roll at H=48) leaks the banded pair kernel yet is
+    exactly covered — and matched — by the tall rung with the same
+    window size."""
+    args = _degraded_inputs(H=48, W=64, roll=0.35)
+
+    def frac(band, rows, nb):
+        return float(cost_volume_cw_oob_fraction(
+            args[0], args[5], args[6], args[8], args[9], args[7],
+            band=band, pair=True, pair_rows=rows, n_blocks=nb)[0])
+
+    assert frac(16, 8, 4) > 1e-3        # banded pair leaks at this roll
+    assert frac(48, 8, 4) == 0.0        # tall (band == H): free offsets
+    want = np.asarray(cost_volume_cw(*args, 5.0))
+    got = np.asarray(cost_volume_cw_pallas(
+        *args, 5.0, band=48, pair=True, pair_rows=8, n_blocks=4,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_ladder_tall_rung_dispatch():
+    """A ladder whose rescue rung is the tall kernel: a frame leaking
+    the banded rung must ride the tall rung (not XLA) and match."""
+    args = _degraded_inputs(H=48, W=64, roll=0.35)
+    steps = ((True, 16, 8, 4), (True, 48, 8, 4))
+    got = np.asarray(cost_volume_cw_pallas_ladder(
+        *args, 5.0, xla_fn=_cost_volume_cw_xla, tol=1e-3, steps=steps,
+        interpret=True))
+    want = np.asarray(cost_volume_cw(*args, 5.0))
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
