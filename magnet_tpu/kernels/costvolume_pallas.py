@@ -635,9 +635,17 @@ def _cost_volume_batched(dvol, ref_feat, src_feat, src_mu, src_sigma,
     j = jnp.arange(c_rows * W)
     rc = jnp.stack([(j // W).astype(f32), (j % W).astype(f32)])
 
-    if pair and band == H and H >= 2 * c_rows:
+    if (pair and band == H and H >= 2 * c_rows
+            and tall_supported(H, W, c_rows, n_blocks,
+                               itemsize=2 if mdt == jnp.bfloat16 else 4)):
         # Full-height rescue kernel: view axis in the grid, one view map
-        # resident in VMEM (see _kernel_pair_tall).
+        # resident in VMEM (see _kernel_pair_tall). Gated on
+        # tall_supported HERE too, not only in ladder_steps: a
+        # MAGNET_TPU_CV_LADDER/CV_BAND override or a natural band == H
+        # shape (e.g. H == 16 == DEFAULT_BAND) must not reach an
+        # unguarded scoped-VMEM allocation or an unaligned contraction —
+        # infeasible configurations run the banded kernel below instead
+        # (band == H is a legal, if maximal, slab).
         coord_spec = pl.BlockSpec(
             (1, 1, 1, tile_h, W),
             lambda b, v_, t_, d_, *_: (b, v_, d_, t_, 0))

@@ -80,6 +80,19 @@ def b5_stage_config():
     return stages
 
 
+def _se_wide_pool() -> bool:
+    """MAGNET_TPU_SE_WIDE=1: compute the SE global pool as a two-stage
+    reduce over a (N, H, W*C) view instead of a (1,2)-axis mean. The
+    trunk's SE pools measure ~35% of HBM peak (docs/KERNELS.md roofline)
+    because sub-128 channel counts leave most VPU lanes idle during the
+    cross-HW reduction; flattening (W, C) into the minor dimension keeps
+    all 128 lanes busy for the large first-stage reduce, and the second
+    stage reduces only W*C elements. Bitwise-different f32 summation
+    order, same value to reduction tolerance. Default pending A/B."""
+    import os
+    return os.environ.get("MAGNET_TPU_SE_WIDE", "0") == "1"
+
+
 class SqueezeExcite(nn.Module):
     """SE gate: pool -> reduce 1x1 -> swish -> expand 1x1 -> sigmoid."""
     reduced_ch: int
@@ -87,7 +100,15 @@ class SqueezeExcite(nn.Module):
     @nn.compact
     def __call__(self, x):
         ch = x.shape[-1]
-        se = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        if _se_wide_pool() and not self.is_initializing():
+            N, H, W, C = x.shape
+            s = jnp.sum(x.astype(jnp.float32).reshape(N, H, W * C),
+                        axis=1)
+            se = (s.reshape(N, W, C).sum(axis=1)
+                  / float(H * W))[:, None, None, :]
+        else:
+            se = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
+                          keepdims=True)
         se = Conv(self.reduced_ch, 1, use_bias=True, name="conv_reduce")(se)
         se = swish(se)
         se = Conv(ch, 1, use_bias=True, name="conv_expand")(se)

@@ -134,6 +134,41 @@ def _s2d_applicable(x_shape, kh: int, kw: int, stride) -> bool:
             and W % 2 == 0 and kh <= 4 and kw <= 4)
 
 
+def _pw_dot_maxc() -> int:
+    """MAGNET_TPU_PW_DOT: run narrow 1x1 stride-1 convs (both channel
+    ends <= this threshold) as an einsum/dot instead of an XLA
+    convolution. Motivation (docs/KERNELS.md round-4 copies table): the
+    EfficientNet stage-0 ds blocks run their depthwise convs as
+    shift-add in NATURAL layout, but the surrounding XLA 1x1 convs pick
+    batch-interleaved blocked layouts, costing ~1.0 ms/frame of
+    blocked<->natural transition copies; a dot contraction keeps the
+    natural layout end to end. 0 disables (default pending A/B)."""
+    return int(os.environ.get("MAGNET_TPU_PW_DOT", "0"))
+
+
+class _PWDotConv(nn.Module):
+    """Parameter-compatible stand-in for a 1x1 stride-1 nn.Conv
+    ('kernel'/'bias' under scope 'conv') computing via jnp.einsum —
+    lowers to a dot_general in the activations' natural layout."""
+    features: int
+    use_bias: bool
+    dtype: Optional[Dtype]
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], self.features),
+                            jnp.float32)
+        dt = self.dtype or x.dtype
+        y = jnp.einsum("nhwc,cm->nhwm", x.astype(dt),
+                       kernel[0, 0].astype(dt))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(dt)
+        return y
+
+
 def _use_pallas_dw() -> bool:
     """Opt-in (MAGNET_TPU_PALLAS_DW=1) Pallas depthwise conv
     (kernels/dwconv_pallas.py). MEASURED SLOWER than XLA's grouped conv on
@@ -264,6 +299,14 @@ class Conv(nn.Module):
             return _S2DConv(features=self.features, kernel_size=(kh, kw),
                             padding=epad, use_bias=self.use_bias,
                             dtype=self.dtype, name="conv")(x)
+        if (self.groups == 1 and _pair(self.kernel_size) == (1, 1)
+                and _pair(self.stride) == (1, 1)
+                and pad in ("SAME", ((0, 0), (0, 0)))
+                and 0 < _pw_dot_maxc()
+                and max(x.shape[-1], self.features) <= _pw_dot_maxc()):
+            return _PWDotConv(features=self.features,
+                              use_bias=self.use_bias, dtype=self.dtype,
+                              name="conv")(x)
         if is_depthwise and (_DW_SHIFT_ADD
                              or (x.shape[-1] <= _DW_SHIFT_ADD_MAXC
                                  and _pair(self.stride) == (1, 1))):

@@ -175,7 +175,12 @@ def make_dnet_eval_fn(model):
     return forward
 
 
-def make_magnet_eval_fn(model, n_iters: int):
+def make_magnet_eval_fn(model, n_iters: int, return_all: bool = False):
+    """Jitted MaGNet inference. Returns the final upsampled (mu, sigma)
+    map; with ``return_all`` the full per-iteration list — the reference
+    visualizes EVERY refinement iteration during training
+    (utils/utils.py:305-332), so train_MaGNet's visualize path needs the
+    list while validation wants only the last."""
     @jax.jit
     def forward(state: TrainState, batch):
         preds = model.apply(
@@ -183,5 +188,5 @@ def make_magnet_eval_fn(model, n_iters: int):
             batch["ref_img"], batch["src_imgs"], batch["R"], batch["t"],
             batch["is_valid"], batch["intM"], batch["rays2d"],
             train=False, n_iters=n_iters)
-        return preds[-1]
+        return preds if return_all else preds[-1]
     return forward

@@ -218,13 +218,22 @@ def main():
         # Forced full escalation (see find_rung_poses): a fresh trace
         # with a negative guard tolerance rejects every rung, so every
         # frame pays all rung plans + coverage checks + the XLA path —
-        # the same cost a really-escalating frame pays.
-        os.environ["MAGNET_TPU_CV_GUARD"] = "-1"
-        rune1, runeN = forward_n(1), forward_n(args.loop_n)
-        float(rune1(variables, *inputs)[0, 0, 0, 0])
-        float(runeN(variables, *inputs)[0, 0, 0, 0])
-        dt = measure(rune1, runeN, inputs)
-        os.environ["MAGNET_TPU_CV_GUARD"] = str(tol)
+        # the same cost a really-escalating frame pays. The env flip is
+        # restored to its EXACT prior state (deleted if it was unset)
+        # even on failure, so later traces in this process see the
+        # caller's configuration.
+        prev_guard = os.environ.get("MAGNET_TPU_CV_GUARD")
+        try:
+            os.environ["MAGNET_TPU_CV_GUARD"] = "-1"
+            rune1, runeN = forward_n(1), forward_n(args.loop_n)
+            float(rune1(variables, *inputs)[0, 0, 0, 0])
+            float(runeN(variables, *inputs)[0, 0, 0, 0])
+            dt = measure(rune1, runeN, inputs)
+        finally:
+            if prev_guard is None:
+                os.environ.pop("MAGNET_TPU_CV_GUARD", None)
+            else:
+                os.environ["MAGNET_TPU_CV_GUARD"] = prev_guard
         results["xla-escalated"] = {
             "sec_per_frame": dt, "fps": 1.0 / dt,
             "method": "forced MAGNET_TPU_CV_GUARD=-1"}
@@ -233,12 +242,18 @@ def main():
 
     # Pure-XLA cost-volume floor: trace a fresh program with the kernel
     # dispatch disabled (_use_pallas_cv reads the env at trace time).
-    os.environ["MAGNET_TPU_PALLAS_CV"] = "0"
-    runx1, runxN = forward_n(1), forward_n(args.loop_n)
-    float(runx1(variables, *inputs)[0, 0, 0, 0])
-    float(runxN(variables, *inputs)[0, 0, 0, 0])
-    dt = measure(runx1, runxN, inputs)
-    del os.environ["MAGNET_TPU_PALLAS_CV"]
+    prev_cv = os.environ.get("MAGNET_TPU_PALLAS_CV")
+    try:
+        os.environ["MAGNET_TPU_PALLAS_CV"] = "0"
+        runx1, runxN = forward_n(1), forward_n(args.loop_n)
+        float(runx1(variables, *inputs)[0, 0, 0, 0])
+        float(runxN(variables, *inputs)[0, 0, 0, 0])
+        dt = measure(runx1, runxN, inputs)
+    finally:
+        if prev_cv is None:
+            os.environ.pop("MAGNET_TPU_PALLAS_CV", None)
+        else:
+            os.environ["MAGNET_TPU_PALLAS_CV"] = prev_cv
     results["xla-only"] = {"sec_per_frame": dt, "fps": 1.0 / dt}
     print(f"{'xla-only':14} {1.0 / dt:7.2f} fps", flush=True)
 

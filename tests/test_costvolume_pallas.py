@@ -470,3 +470,98 @@ def test_batched_kernel_gate():
             os.environ.pop("MAGNET_TPU_PALLAS_CV_BATCH", None)
         else:
             os.environ["MAGNET_TPU_PALLAS_CV_BATCH"] = saved_env
+
+
+def _full_rot(rng, mag):
+    """Random xyz rotation with angles ~ U(-mag, mag) — includes roll
+    (about the optical axis), the hardest case for row-slab coverage."""
+    ax, ay, az = rng.uniform(-mag, mag, 3)
+
+    def rx(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+    def ry(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    return (rz(az) @ ry(ay) @ rx(ax)).astype(np.float32)
+
+
+def _motion_inputs(H, W, V, mag, seed):
+    """Plan-relevant inputs only (poses/intrinsics/candidates) at a given
+    motion magnitude (radians of xyz rotation AND meters of translation)."""
+    rng = np.random.RandomState(seed)
+    R = np.stack([_full_rot(rng, mag) for _ in range(V)])[None]
+    t = rng.uniform(-mag * 4, mag * 4, (1, V, 3)).astype(np.float32)
+    valid = np.ones((1, V), np.float32)
+    fx = 0.9 * W
+    K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]], np.float32)
+    grid = np.ones((H, W, 3), np.float32)
+    grid[:, :, 0] = (np.arange(W)[None] + 0.5 - K[0, 2]) / K[0, 0]
+    grid[:, :, 1] = (np.arange(H)[:, None] + 0.5 - K[1, 2]) / K[1, 1]
+    rays = grid.transpose(2, 0, 1).reshape(1, 3, -1)
+    dvol = rng.uniform(1, 5, (1, H, W, 5)).astype(np.float32)
+    return (jnp.asarray(dvol), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(np.tile(K, (1, 1, 1))), jnp.asarray(rays),
+            jnp.asarray(valid))
+
+
+@pytest.mark.parametrize("H,W,V", [(32, 64, 2), (64, 128, 4),
+                                   (120, 160, 4), (88, 312, 2)])
+def test_ladder_admission_nests(H, W, V):
+    """docs/KERNELS.md claims the production ladder's admission sets NEST:
+    any frame rung i admits (out-of-band fraction <= tol), every later
+    rung admits too — so escalation can never skip past the only exact
+    rung. Checked as a property over the ACTUAL ladder_steps rung list
+    for a sweep of motion regimes (xyz rotations incl. roll + fresh
+    translations): the oob fraction is monotonically non-increasing down
+    the ladder."""
+    from magnet_tpu.ops.costvolume import (_CV_GUARD_DEFAULT_TOL,
+                                           ladder_steps)
+
+    for itemsize in (2, 4):
+        steps = ladder_steps(H, W, V, itemsize=itemsize)
+        assert len(steps) >= 1
+        for mag in (0.002, 0.01, 0.04, 0.12):
+            for seed in (0, 1):
+                dvol, R, t, intM, rays, valid = _motion_inputs(
+                    H, W, V, mag, seed)
+                fracs = []
+                for (p, b, rows, blocks) in ((tuple(s) + (None, 1))[:4]
+                                             for s in steps):
+                    f = cost_volume_cw_oob_fraction(
+                        dvol, R, t, intM, rays, valid, band=b, pair=p,
+                        pair_rows=rows, n_blocks=blocks or 1)
+                    fracs.append(float(f[0]))
+                for i in range(len(fracs) - 1):
+                    assert fracs[i + 1] <= fracs[i] + 1e-9, (
+                        f"rung {i + 1} covers LESS than rung {i}: "
+                        f"{fracs} steps={steps} mag={mag} seed={seed} "
+                        f"itemsize={itemsize}")
+                # Admission nesting at the production tolerance follows
+                # from monotonicity; assert it directly too.
+                admitted = [f <= _CV_GUARD_DEFAULT_TOL for f in fracs]
+                for i in range(len(admitted) - 1):
+                    assert (not admitted[i]) or admitted[i + 1], (
+                        fracs, steps)
+
+
+@pytest.mark.parametrize("W", [128, 24])
+def test_band_equals_h_dispatch_gated(W):
+    """band == H reaches _cost_volume_batched's tall branch only through
+    tall_supported (advisor r4): W=128 satisfies the (c_rows*W) % 128
+    alignment and runs the tall kernel; W=24 fails it and must fall back
+    to the banded kernel instead of an unguarded tall compile. Both must
+    match the XLA path exactly in f32."""
+    H, V = 16, 2
+    args = _inputs(B=1, V=V, H=H, W=W, C=8, D=3, seed=7)
+    want = np.asarray(_cost_volume_cw_xla(*args, 5.0))
+    got = np.asarray(cost_volume_cw_pallas(*args, 5.0, band=H,
+                                           interpret=True, pair=True))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert np.abs(want).max() > 0.01

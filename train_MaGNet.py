@@ -84,6 +84,13 @@ def main():
         compute_dtype=dtypes.resolve(args.compute_dtype))
     eval_fn = steps.make_magnet_eval_fn(model,
                                         n_iters=args.MAGNET_num_test_iter)
+    # The reference dumps pred/error/stdev for EVERY refinement iteration
+    # of the train forward (utils/utils.py:305-332, train_MaGNet.py:106-107)
+    # — a separate jitted fn returning the full list, at train iteration
+    # count.
+    viz_fn = steps.make_magnet_eval_fn(model,
+                                       n_iters=args.MAGNET_num_train_iter,
+                                       return_all=True)
 
     def run_validation(state):
         return harness.evaluate_magnet(
@@ -112,11 +119,11 @@ def main():
                       flush=True)
 
             if total_iter % args.visualize_every < args.batch_size:
-                pred = eval_fn(state, jax.tree.map(lambda x: x[:1], {
+                preds = viz_fn(state, jax.tree.map(lambda x: x[:1], {
                     k: batch[k] for k in ("ref_img", "src_imgs", "R", "t",
                                           "is_valid", "intM", "rays2d")}))
                 visualize.visualize_magnet(args, raw_batch["ref_img"][:1],
-                                           raw_batch["depth"][:1], [pred],
+                                           raw_batch["depth"][:1], preds,
                                            total_iter)
 
             if total_iter % args.validate_every < args.batch_size:
