@@ -123,6 +123,65 @@ def find_rung_poses(steps, tol, H, W, V, K, rays, mu=2.0, sigma=0.22):
     return out
 
 
+def price_regimes(results, names, occupancy_path, shape):
+    """Expected per-regime fps: occupancy-weighted per-rung timings
+    (E[t] = t_rung1 + sum_i sum_r occ[i][r] * (t_r - t_rung1)/3)."""
+    regimes = {}
+    if not occupancy_path:
+        return regimes
+    with open(occupancy_path) as f:
+        occ_rows = json.load(f)
+    t1 = results[names[0]]["sec_per_frame"]
+    d_iter = {}
+    for nm in names[1:] + ["xla-escalated"]:
+        if nm in results:       # rungs unreachable by pure roll fall
+            d_iter[nm] = (results[nm]["sec_per_frame"] - t1) / 3.0
+        else:                   # through to the xla-escalated price
+            print(f"note: {nm} unmeasured; occupancy priced at "
+                  "xla-escalated (conservative)", flush=True)
+    dataset = {"scannet": "scannet", "kitti": "kitti"}[shape]
+    by_speed = {}
+    for row in occ_rows:
+        if row["dataset"] != dataset:
+            continue
+        by_speed.setdefault(row["speed"], {})[
+            row["sigma_ratio"]] = dict(zip(row["rungs"],
+                                           row["occupancy"]))
+    for speed, rows in by_speed.items():
+        missing = [s for s in SIG_RATIOS if s not in rows]
+        if missing:
+            print(f"skip {speed}: no occupancy rows for {missing}")
+            continue
+        t = t1
+        for s in SIG_RATIOS:
+            for rung, p in rows[s].items():
+                if rung == names[0] or p == 0.0:
+                    continue
+                key = "xla-escalated" if rung == "xla" else rung
+                if key not in d_iter:           # occupancy has a rung
+                    key = "xla-escalated"       # the ladder doesn't run
+                t += p * d_iter[key]
+        regimes[speed] = {"expected_fps": 1.0 / t,
+                          "occupancy": rows}
+        print(f"regime {speed:14} expected {1.0 / t:7.2f} fps",
+              flush=True)
+    return regimes
+
+
+def price_only(artifact_path, occupancy_path, shape):
+    """Re-run only the occupancy pricing against an EXISTING artifact's
+    per-rung timings (no chip time); rewrites its per_regime."""
+    with open(artifact_path) as f:
+        art = json.load(f)
+    names = art["ladder"]
+    regimes = price_regimes(art["per_rung"], names, occupancy_path,
+                            shape)
+    art["per_regime"] = regimes
+    with open(artifact_path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"updated {artifact_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", choices=["scannet", "kitti"],
@@ -133,7 +192,13 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--loop_n", type=int, default=8)
     ap.add_argument("--out", default="")
+    ap.add_argument("--price-only", default="",
+                    help="existing bench_motion artifact: recompute "
+                         "per_regime from its per-rung timings and the "
+                         "--occupancy file, no measurement")
     args = ap.parse_args()
+    if args.price_only:
+        return price_only(args.price_only, args.occupancy, args.shape)
 
     import jax
     import jax.numpy as jnp
@@ -258,44 +323,7 @@ def main():
     print(f"{'xla-only':14} {1.0 / dt:7.2f} fps", flush=True)
 
     # ---- expected fps per regime from measured occupancy
-    regimes = {}
-    if args.occupancy:
-        with open(args.occupancy) as f:
-            occ_rows = json.load(f)
-        t1 = results[names[0]]["sec_per_frame"]
-        d_iter = {}
-        for nm in names[1:] + ["xla-escalated"]:
-            if nm in results:   # rungs unreachable by pure roll fall
-                d_iter[nm] = (results[nm]["sec_per_frame"] - t1) / 3.0
-            else:               # through to the xla-escalated price
-                print(f"note: {nm} unmeasured; occupancy priced at "
-                      "xla-escalated (conservative)", flush=True)
-        dataset = {"scannet": "scannet", "kitti": "kitti"}[args.shape]
-        by_speed = {}
-        for row in occ_rows:
-            if row["dataset"] != dataset:
-                continue
-            by_speed.setdefault(row["speed"], {})[
-                row["sigma_ratio"]] = dict(zip(row["rungs"],
-                                               row["occupancy"]))
-        for speed, rows in by_speed.items():
-            missing = [s for s in SIG_RATIOS if s not in rows]
-            if missing:
-                print(f"skip {speed}: no occupancy rows for {missing}")
-                continue
-            t = t1
-            for s in SIG_RATIOS:
-                for rung, p in rows[s].items():
-                    if rung == names[0] or p == 0.0:
-                        continue
-                    key = "xla-escalated" if rung == "xla" else rung
-                    if key not in d_iter:       # occupancy has a rung
-                        key = "xla-escalated"   # the ladder doesn't run
-                    t += p * d_iter[key]
-            regimes[speed] = {"expected_fps": 1.0 / t,
-                              "occupancy": rows}
-            print(f"regime {speed:14} expected {1.0 / t:7.2f} fps",
-                  flush=True)
+    regimes = price_regimes(results, names, args.occupancy, args.shape)
 
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

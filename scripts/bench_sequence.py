@@ -48,6 +48,11 @@ REGIMES = {
     "slow": dict(ang=0.4, trans=0.012),
     "medium": dict(ang=1.2, trans=0.03),
     "fast": dict(ang=3.0, trans=0.08),
+    # beyond-realistic magnitudes whose only purpose is to drive the
+    # trajectory through the UPPER rungs, validating the pricing model
+    # where it matters most (10/25 deg/frame ~ whip pans)
+    "very-fast": dict(ang=10.0, trans=0.2),
+    "extreme": dict(ang=25.0, trans=0.5),
 }
 
 
@@ -192,7 +197,8 @@ def main():
         with open(motion_path) as f:
             m = json.load(f)
         rung_times = {k: v["sec_per_frame"] for k, v in
-                      m.get("rungs", {}).items()}
+                      m.get("per_rung", {}).items()}
+        rung_times["xla"] = rung_times.get("xla-escalated")
 
     results = {}
     names = rung_names()
