@@ -54,6 +54,49 @@ def seed_compilation_cache(cache_dir: str,
     return n
 
 
+def _stabilize_mosaic_cache_keys() -> bool:
+    """Strip debug locations from Mosaic (Pallas TPU) payloads before
+    serialization, so compile-cache keys stop churning on unrelated
+    source edits.
+
+    Measured defect (round 5): the persistent-cache key canonicalizes
+    the top-level StableHLO with strip-debuginfo, but a Pallas custom
+    call's backend_config embeds the SERIALIZED KERNEL MODULE — whose
+    location chains include the caller frames. Inserting one blank line
+    in a script that (transitively) calls a Pallas kernel changed the
+    key and forced a full ~7-10 min recompile of the flagship program.
+    Locations in the payload are diagnostics only; stripping them makes
+    the key a function of program semantics again. Best-effort: returns
+    False (and changes nothing) on jax versions with a different
+    lowering layout."""
+    try:
+        from typing import cast as type_cast
+
+        from jax._src import tpu_custom_call as tcc
+        from jax._src.lib.mlir import ir, passmanager as pm
+    except Exception:
+        return False
+    if getattr(tcc, "_magnet_tpu_loc_stripped", False):
+        return True
+    orig = getattr(tcc, "_lower_mosaic_module_to_asm", None)
+    if orig is None:
+        return False
+
+    def stripped(module, *, ir_version=None):
+        try:
+            with module.context:
+                m = type_cast(ir.Module, module.operation.clone())
+                pm.PassManager.parse(
+                    "builtin.module(strip-debuginfo)").run(m.operation)
+        except Exception:
+            m = module
+        return orig(m, ir_version=ir_version)
+
+    tcc._lower_mosaic_module_to_asm = stripped
+    tcc._magnet_tpu_loc_stripped = True
+    return True
+
+
 def enable_compilation_cache(path: str | None = None) -> str | None:
     """Enable the on-disk compile cache; returns the directory or None
     when disabled. Safe on any backend and on old jax (best-effort)."""
@@ -61,6 +104,7 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         "MAGNET_TPU_CACHE_DIR", _DEFAULT)
     if not p:
         return None
+    _stabilize_mosaic_cache_keys()
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", p)

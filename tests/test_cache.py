@@ -54,3 +54,29 @@ def test_entry_points_opt_in():
             with open(os.path.join(root, name)) as f:
                 assert "enable_compilation_cache" not in f.read(), (
                     f"library module {name} must not opt into the cache")
+
+
+def test_mosaic_key_stabilizer_applies():
+    """The Mosaic location-strip patch must attach on this jax version
+    (returns False on layout drift — which would silently bring back
+    per-edit cache-key churn; see core/cache.py docstring)."""
+    from magnet_tpu.core.cache import _stabilize_mosaic_cache_keys
+    assert _stabilize_mosaic_cache_keys() is True
+    # idempotent
+    assert _stabilize_mosaic_cache_keys() is True
+
+
+def test_seed_compilation_cache(tmp_path):
+    """Seeding copies committed entries once and never overwrites."""
+    from magnet_tpu.core.cache import seed_compilation_cache
+    seed = tmp_path / "seed"
+    live = tmp_path / "live"
+    seed.mkdir()
+    (seed / "jit_x-abc-cache").write_bytes(b"exec")
+    (seed / "notacache.txt").write_bytes(b"skip")
+    assert seed_compilation_cache(str(live), str(seed)) == 1
+    assert (live / "jit_x-abc-cache").read_bytes() == b"exec"
+    assert not (live / "notacache.txt").exists()
+    (live / "jit_x-abc-cache").write_bytes(b"newer")
+    assert seed_compilation_cache(str(live), str(seed)) == 0
+    assert (live / "jit_x-abc-cache").read_bytes() == b"newer"
