@@ -194,6 +194,37 @@ _COORD_CLIP = 10.0
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _project_pts(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                 rays: jnp.ndarray, d: jnp.ndarray, H: int, W: int):
+    """Project candidate depths for an arbitrary pixel set.
+
+    K: (3, 3); R: (3, 3); t: (3,); rays: (3, N); d: (..., N) depths
+    (broadcastable against N). Returns x, y (grid_sample index space,
+    sample position u - 0.5) and z (depth in the source camera), each of
+    d's shape. H/W only set the normalization frame."""
+    Rrays = jnp.matmul(R, rays, precision=_HI)              # (3, N)
+    term1_pix = jnp.matmul(K, t[:, None], precision=_HI)    # (3, 1)
+    term2_pix = jnp.matmul(K, Rrays, precision=_HI)         # (3, N)
+
+    P0 = term1_pix[0] + term2_pix[0] * d
+    P1 = term1_pix[1] + term2_pix[1] * d
+    P2 = term1_pix[2] + term2_pix[2] * d
+    z = t[2] + Rrays[2] * d
+
+    denom = P2 + _EPS_DIV
+    u = P0 / denom
+    v = P1 / denom
+
+    # Normalize exactly like the reference (homography.py:143-148): center
+    # at (W/2, H/2), clip to +-10 in normalized units...
+    gx = jnp.clip((u - W / 2.0) / (W / 2.0), -_COORD_CLIP, _COORD_CLIP)
+    gy = jnp.clip((v - H / 2.0) / (H / 2.0), -_COORD_CLIP, _COORD_CLIP)
+    # ...then unnormalize into align_corners=False index space: x = u - 0.5.
+    x = ((gx + 1.0) * W - 1.0) * 0.5
+    y = ((gy + 1.0) * H - 1.0) * 0.5
+    return x, y, z
+
+
 def _project(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
              rays2d: jnp.ndarray, d: jnp.ndarray, H: int, W: int):
     """Project per-pixel candidate depths into a source view.
@@ -205,28 +236,8 @@ def _project(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
     in the source camera.
     """
     D = d.shape[0]
-    # Camera-space transform of the rays (homography.py:99-102).
-    Rrays = jnp.matmul(R, rays2d, precision=_HI)
-    term2_cam = Rrays.reshape(3, H, W)                      # (3, H, W)
-    term1_pix = jnp.matmul(K, t[:, None], precision=_HI).reshape(3, 1, 1)
-    term2_pix = jnp.matmul(K, Rrays, precision=_HI).reshape(3, H, W)
-
-    dd = d[:, None, :, :]                                    # (D, 1, H, W)
-    P_pix = term1_pix[None] + term2_pix[None] * dd           # (D, 3, H, W)
-    z = t[2] + term2_cam[2][None] * dd[:, 0]                 # (D, H, W)
-
-    denom = P_pix[:, 2] + _EPS_DIV
-    u = P_pix[:, 0] / denom
-    v = P_pix[:, 1] / denom
-
-    # Normalize exactly like the reference (homography.py:143-148): center
-    # at (W/2, H/2), clip to +-10 in normalized units...
-    gx = jnp.clip((u - W / 2.0) / (W / 2.0), -_COORD_CLIP, _COORD_CLIP)
-    gy = jnp.clip((v - H / 2.0) / (H / 2.0), -_COORD_CLIP, _COORD_CLIP)
-    # ...then unnormalize into align_corners=False index space: x = u - 0.5.
-    x = ((gx + 1.0) * W - 1.0) * 0.5
-    y = ((gy + 1.0) * H - 1.0) * 0.5
-    return x, y, z
+    x, y, z = _project_pts(K, R, t, rays2d, d.reshape(D, H * W), H, W)
+    return (x.reshape(D, H, W), y.reshape(D, H, W), z.reshape(D, H, W))
 
 
 def make_matching_queries(ref_feat: jnp.ndarray, matching_dtype):
@@ -423,22 +434,251 @@ def cost_volume_sweep(d_center: jnp.ndarray, ref_feat: jnp.ndarray,
     d_center: (D,) sweep plane depths; other args as in `cost_volume_cw`.
     Returns (B, H, W, D), softmaxed over D (homography.py:45-46).
     """
-    V = src_feat.shape[1]
+    B, V = src_feat.shape[:2]
+    D = d_center.shape[0]
+    H, W, C = ref_feat.shape[1:]
     f32 = jnp.float32
     d_center = d_center.astype(f32)
     mdt = jnp.bfloat16 if src_feat.dtype == jnp.bfloat16 else f32
 
-    def per_batch(ref_b, srcf_b, R_b, t_b, val_b, K_b, rays_b):
-        def per_view(srcf_v, R_v, t_v, val_v):
-            return _cost_one_view_sweep(
-                ref_b, srcf_v, d_center,
-                K_b.astype(f32), R_v.astype(f32), t_v.astype(f32),
-                rays_b.astype(f32), val_v.astype(f32), matching_dtype=mdt)
-        costs = jax.vmap(per_view)(srcf_b, R_b, t_b, val_b)
-        return jnp.sum(costs, axis=0)
-
-    cost = jax.vmap(per_batch)(ref_feat, src_feat, R, t, is_valid,
-                               intM, rays2d)
+    if os.environ.get("MAGNET_TPU_SWEEP_BWD", "win") == "xla":
+        # Debug/reference escape: plain autodiff through the gather —
+        # its backward lowers to XLA scatter, which TPU SERIALIZES
+        # per-index (measured 32.6 s for a 4-(batch,view)-pair backward
+        # at the F-Net training shape, and >=8 pairs exceeds the
+        # runtime's execution limit, crashing the worker). Small shapes
+        # only; the default path below fixes this.
+        cost = _sweep_pre_cost_impl(d_center, ref_feat, src_feat, R, t,
+                                    is_valid, intM, rays2d)
+    else:
+        cost = _sweep_pre_cost(d_center, ref_feat, src_feat, R, t,
+                               is_valid, intM, rays2d)
     cost = cost / float(V)
     cost = jax.nn.softmax(cost, axis=1)                     # over D
     return jnp.moveaxis(cost, 1, -1)
+
+
+def _sweep_matching_dtype(src_feat):
+    mdt = jnp.bfloat16 if src_feat.dtype == jnp.bfloat16 else jnp.float32
+    if mdt == jnp.bfloat16 and jax.default_backend() == "cpu":
+        return jnp.float32          # CPU XLA lacks bf16 dots
+    return mdt
+
+
+def _sweep_pre_cost_impl(d_center, ref_feat, src_feat, R, t, is_valid,
+                         intM, rays2d):
+    """Pre-softmax sweep cost (B, D, H, W) f32 = sum over valid views of
+    the per-view matching cost (NOT yet divided by V).
+
+    Memory shape: the corner-block gather materializes
+    (d, H, W, 2, 2, C) in f32 before the contraction. At the F-Net
+    TRAINING shape (D=80 sweep planes, 120x160, C=64) a fully vmapped
+    (B, V, D) evaluation transiently allocates ~25 GB and fails HBM
+    (caught by scripts/bench_train.py --stage 2). The D axis therefore
+    runs SEQUENTIALLY in chunks (lax.map -> device loop) under the
+    (B, V) vmaps, bounding the transient to B*V x one chunk. Per-chunk
+    MXU work stays large, so the loop costs dispatch, not utilization."""
+    B, V = src_feat.shape[:2]
+    D = d_center.shape[0]
+    H, W, C = ref_feat.shape[1:]
+    f32 = jnp.float32
+    d_center = d_center.astype(f32)
+    mdt = _sweep_matching_dtype(src_feat)
+
+    env_chunk = os.environ.get("MAGNET_TPU_SWEEP_CHUNK", "")
+    if env_chunk:
+        chunk = int(env_chunk)
+    else:
+        per_d = max(1, B * V * H * W * 2 * 2 * C * 4)
+        chunk = max(1, int(3.0e9 // per_d))
+    chunk = next((c for c in range(min(chunk, D), 0, -1) if D % c == 0),
+                 1)
+    d_chunks = d_center.reshape(-1, chunk)
+
+    def per_batch(ref_b, srcf_b, R_b, t_b, val_b, K_b, rays_b):
+        def per_view(srcf_v, R_v, t_v, val_v):
+            @jax.checkpoint
+            def do_chunk(dc):
+                return _cost_one_view_sweep(
+                    ref_b, srcf_v, dc, K_b.astype(f32), R_v.astype(f32),
+                    t_v.astype(f32), rays_b.astype(f32),
+                    val_v.astype(f32), matching_dtype=mdt)
+            return jax.lax.map(do_chunk, d_chunks).reshape(
+                (D,) + ref_b.shape[:2])
+        costs = jax.vmap(per_view)(srcf_b, R_b, t_b, val_b)
+        return jnp.sum(costs, axis=0)
+
+    return jax.vmap(per_batch)(ref_feat, src_feat, R, t, is_valid,
+                               intM, rays2d)
+
+
+@jax.custom_vjp
+def _sweep_pre_cost(d_center, ref_feat, src_feat, R, t, is_valid, intM,
+                    rays2d):
+    """_sweep_pre_cost_impl with a TPU-native hand-written backward.
+
+    Autodiff's backward for the bilinear gather is an XLA scatter-add,
+    which the TPU backend SERIALIZES into a per-index loop: measured
+    32.6 s of device time for ONE 4-pair backward at the F-Net training
+    shape, and any program with >= 8 (batch, view) pairs of scatter
+    work exceeded the runtime execution limit and crashed the TPU
+    worker — F-Net training at the reference protocol (B=2, V=4) was
+    IMPOSSIBLE through autodiff. The custom backward below replaces the
+    scatter with the transpose of the windowed-matmul structure the
+    forward Pallas kernels use (free-offset row windows per (plane,
+    ref-row-pair), MXU contraction + dense dynamic-update-slice
+    accumulation in a scan): no scatter instruction anywhere.
+    """
+    return _sweep_pre_cost_impl(d_center, ref_feat, src_feat, R, t,
+                                is_valid, intM, rays2d)
+
+
+def _sweep_pre_cost_fwd(d_center, ref_feat, src_feat, R, t, is_valid,
+                        intM, rays2d):
+    cost = _sweep_pre_cost_impl(d_center, ref_feat, src_feat, R, t,
+                                is_valid, intM, rays2d)
+    return cost, (d_center, ref_feat, src_feat, R, t, is_valid, intM,
+                  rays2d)
+
+
+def _sweep_bwd_rows(H: int) -> int:
+    """Half-window height of the backward's free-offset row windows
+    (window = 2*rows source rows per (plane, ref-row-pair)). Footprints
+    taller than the window lose their gradient contributions — the same
+    band-locality trade the forward kernels make, except the backward
+    window has a FREE offset (band == H semantics), so it admits
+    everything the 16-row tall rung admits; at training-protocol motion
+    (ScanNet window radius 20) coverage is exact
+    (tests/test_costvolume.py::test_sweep_bwd_matches_autodiff)."""
+    rows = int(os.environ.get("MAGNET_TPU_SWEEP_BWD_ROWS", "8"))
+    return max(1, min(rows, H // 2))
+
+
+def _sweep_pre_cost_bwd(res, gbar):
+    d_center, ref_feat, src_feat, R, t, is_valid, intM, rays2d = res
+    B, V = src_feat.shape[:2]
+    D = d_center.shape[0]
+    H, W, C = ref_feat.shape[1:]
+    f32 = jnp.float32
+    mdt = _sweep_matching_dtype(src_feat)
+    gbar = gbar.astype(f32)                           # (B, D, H, W)
+    d_center = d_center.astype(f32)
+    Kf, Rf, tf = intM.astype(f32), R.astype(f32), t.astype(f32)
+    raysf = rays2d.astype(f32)
+    validf = is_valid.astype(f32)
+
+    # ---- grad wrt ref_feat: the sampled (warped) source features,
+    # weighted by the upstream cotangent — pure re-GATHER, no scatter.
+    env_chunk = os.environ.get("MAGNET_TPU_SWEEP_CHUNK", "")
+    if env_chunk:
+        chunk = int(env_chunk)
+    else:
+        per_d = max(1, B * V * H * W * 2 * 2 * C * 4)
+        chunk = max(1, int(3.0e9 // per_d))
+    chunk = next((c for c in range(min(chunk, D), 0, -1) if D % c == 0),
+                 1)
+    dg_chunks = d_center.reshape(-1, chunk)
+
+    def per_bv_ref_grad(gbar_b, srcf_v, R_v, t_v, val_v, K_b, rays_b):
+        def do_chunk(args):
+            dc, g_c = args                     # (chunk,), (chunk, H, W)
+            dvol = jnp.broadcast_to(dc[:, None, None], (chunk, H, W))
+            x, y, _ = _project(K_b, R_v, t_v, rays_b, dvol, H, W)
+            block, w = gather_corner_block(srcf_v.astype(mdt), x, y)
+            sampled = jnp.einsum("dhwyx,dhwyxc->dhwc", w,
+                                 block.astype(f32), precision=_HI)
+            return jnp.einsum("dhw,dhwc->hwc", g_c, sampled,
+                              precision=_HI)
+        gb = gbar_b.reshape(-1, chunk, H, W)          # (n_chunks, c, H, W)
+        parts = jax.lax.map(do_chunk, (dg_chunks, gb))
+        return parts.sum(axis=0) * val_v              # (H, W, C)
+
+    def per_b_ref_grad(gbar_b, srcf_b, R_b, t_b, val_b, K_b, rays_b):
+        g = jax.vmap(lambda sv, Rv, tv, vv: per_bv_ref_grad(
+            gbar_b, sv, Rv, tv, vv, K_b, rays_b))(srcf_b, R_b, t_b,
+                                                  val_b)
+        return g.sum(axis=0)
+
+    grad_ref = jax.vmap(per_b_ref_grad)(gbar, src_feat, Rf, tf, validf,
+                                        Kf, raysf)
+    grad_ref = grad_ref.astype(ref_feat.dtype)
+
+    # ---- grad wrt src_feat: windowed dense transpose. For each (sweep
+    # plane d, ref-row-pair p), every sample's bilinear footprint lies
+    # in a 2*c_rows-row window of the source map at a free per-(b, v)
+    # offset (exact min-start when it fits, mean-centered otherwise —
+    # the forward kernels' plan policy). The window weights W[s, k]
+    # are dense over (window_row, column), so grad accumulation is ONE
+    # MXU contraction per step plus a dense dynamic-update-slice —
+    # no scatter.
+    c_rows = _sweep_bwd_rows(H)
+    win = 2 * c_rows
+    n_pairs = H // 2
+    reff = ref_feat.astype(f32)
+    rays_rows = raysf.reshape(B, 3, H, W)
+    kr = jnp.arange(win, dtype=f32)
+    kcols = jnp.arange(W, dtype=f32)
+
+    def step(acc, dp):
+        di = dp // n_pairs
+        p = dp - di * n_pairs
+        d = d_center[di]
+        rays_p = jax.lax.dynamic_slice_in_dim(rays_rows, 2 * p, 2,
+                                              axis=2)     # (B, 3, 2, W)
+
+        def proj_bv(K_b, R_v, t_v, rays_b):
+            x, y, _ = _project_pts(K_b, R_v, t_v,
+                                   rays_b.reshape(3, 2 * W), d, H, W)
+            return x.reshape(2, W), y.reshape(2, W)
+
+        x, y = jax.vmap(lambda K_b, R_b, t_b, rays_b: jax.vmap(
+            lambda R_v, t_v: proj_bv(K_b, R_v, t_v, rays_b))(R_b, t_b))(
+                Kf, Rf, tf, rays_p)                       # (B, V, 2, W)
+
+        yc = jnp.clip(y, 0.0, float(H - 1))
+        fmin = jnp.floor(yc.min(axis=(2, 3))).astype(jnp.int32)
+        fmax = jnp.floor(yc.max(axis=(2, 3))).astype(jnp.int32)
+        fit = (fmax + 1 - fmin) <= win - 1
+        cen = jnp.floor(yc.mean(axis=(2, 3))).astype(jnp.int32) - c_rows
+        w0 = jnp.clip(jnp.where(fit, fmin, cen), 0, H - win)  # (B, V)
+
+        # weights against TRUE (unclamped) coords: samples outside the
+        # image or the window get zero weight automatically.
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+            y[..., None] - (w0[..., None, None, None].astype(f32) + kr)))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - kcols))
+        M = (wy[..., :, None] * wx[..., None, :]).astype(mdt)
+        # (B, V, 2, W, win, W)
+
+        g_d = jax.lax.dynamic_index_in_dim(gbar, di, axis=1,
+                                           keepdims=False)  # (B, H, W)
+        g_p = jax.lax.dynamic_slice_in_dim(g_d, 2 * p, 2,
+                                           axis=1)          # (B, 2, W)
+        ref_p = jax.lax.dynamic_slice_in_dim(reff, 2 * p, 2,
+                                             axis=1)        # (B, 2, W, C)
+        valref = (g_p[:, None, ..., None] * ref_p[:, None]
+                  * validf[..., None, None, None]).astype(mdt)
+        # (B, V, 2, W, C)
+        grad_win = jnp.einsum("bvxykw,bvxyc->bvkwc", M, valref,
+                              preferred_element_type=f32)
+        # (B, V, win, W, C)
+
+        for b in range(B):
+            for v in range(V):
+                start = (b, v, w0[b, v], 0, 0)
+                cur = jax.lax.dynamic_slice(acc, start,
+                                            (1, 1, win, W, C))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + grad_win[b, v][None, None], start)
+        return acc, None
+
+    acc0 = jnp.zeros((B, V, H, W, C), f32)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(D * n_pairs))
+    grad_src = acc.astype(src_feat.dtype)
+
+    zero = lambda a: jnp.zeros_like(a)
+    return (zero(d_center).astype(res[0].dtype), grad_ref, grad_src,
+            zero(R), zero(t), zero(is_valid), zero(intM), zero(rays2d))
+
+
+_sweep_pre_cost.defvjp(_sweep_pre_cost_fwd, _sweep_pre_cost_bwd)

@@ -145,7 +145,11 @@ def main_stage2():
 
     Bc = 2
     d_center = sid_depth_centers(1e-3, 10.0, 80)
-    model = MagnetF(fnet_feature_dim=64)
+    # --remat (the TPU extension train_FNet.py exposes) is REQUIRED at
+    # this shape: batch 2 x (1+V) frames of PSM backward activations
+    # alone exceed one chip's HBM without block checkpointing (measured:
+    # the un-remat'd step crashes the worker at B=2, runs at B=1).
+    model = MagnetF(fnet_feature_dim=64, remat=True)
     (ref_img, src_imgs, R, t, is_valid, intM, rays2d) = example_inputs(
         Bc, img_h=H, img_w=W, n_views=V)
     rng = np.random.RandomState(1)
@@ -174,7 +178,7 @@ def main_stage2():
                                           "scannet"),
         "value": round(Bc / per_step, 3),
         "unit": f"samples/sec/chip ({W}x{H}, V={V}, 80 bins, batch "
-                f"{Bc}, bf16, full backward)",
+                f"{Bc}, bf16, full backward, --remat)",
     }))
 
 

@@ -123,3 +123,27 @@ def test_decoder_tap_strides_and_channels():
                                2.0 * np.asarray(feats[-1]), rtol=1e-6)
     for a, b in zip(feats[:-1], feats2[:-1]):   # earlier taps untouched
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("flag,val", [("MAGNET_TPU_SE_WIDE", "1"),
+                                      ("MAGNET_TPU_PW_DOT", "48")])
+def test_experiment_flags_equivalent(flag, val):
+    """The opt-in trunk experiment paths (docs/KERNELS.md negative-
+    results log) must stay numerically equivalent to the default path
+    and parameter-compatible with flag-off checkpoints."""
+    import os
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    m = EfficientNetB5Features()
+    v = m.init(jax.random.PRNGKey(0), x)
+    base = m.apply(v, x, train=False, mutable=False)
+    assert os.environ.get(flag) is None
+    os.environ[flag] = val
+    try:
+        got = m.apply(v, x, train=False, mutable=False)
+    finally:
+        del os.environ[flag]
+    for i, (a, b) in enumerate(zip(base, got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"{flag} tap {i}")
