@@ -585,8 +585,13 @@ def _sweep_pre_cost_bwd(res, gbar):
             dvol = jnp.broadcast_to(dc[:, None, None], (chunk, H, W))
             x, y, _ = _project(K_b, R_v, t_v, rays_b, dvol, H, W)
             block, w = gather_corner_block(srcf_v.astype(mdt), x, y)
-            sampled = jnp.einsum("dhwyx,dhwyxc->dhwc", w,
-                                 block.astype(f32), precision=_HI)
+            # corner combine in the matching dtype with f32 accumulation
+            # (an explicit f32 block upcast measured ~30 ms/step of pure
+            # convert traffic at the training shape)
+            sampled = jnp.einsum(
+                "dhwyx,dhwyxc->dhwc", w.astype(mdt), block,
+                preferred_element_type=f32,
+                precision=None if mdt == jnp.bfloat16 else _HI)
             return jnp.einsum("dhw,dhwc->hwc", g_c, sampled,
                               precision=_HI)
         gb = gbar_b.reshape(-1, chunk, H, W)          # (n_chunks, c, H, W)
@@ -610,7 +615,22 @@ def _sweep_pre_cost_bwd(res, gbar):
     # the forward kernels' plan policy). The window weights W[s, k]
     # are dense over (window_row, column), so grad accumulation is ONE
     # MXU contraction per step plus a dense dynamic-update-slice —
-    # no scatter.
+    # no scatter. On TPU the fused Pallas kernel
+    # (kernels/sweepbwd_pallas.py) runs the same contraction with the
+    # per-view gradient RESIDENT in VMEM (no per-step
+    # slice/update round trips); the XLA scan below is the portable
+    # fallback (MAGNET_TPU_SWEEP_BWD=scan forces it).
+    mode = os.environ.get("MAGNET_TPU_SWEEP_BWD", "win")
+    if mode == "win" and jax.default_backend() == "tpu":
+        from magnet_tpu.kernels import sweepbwd_pallas as swb
+        if swb.supported(H, W, C):
+            grad_src = swb.sweep_grad_src_pallas(
+                d_center, ref_feat, src_feat.shape, gbar, R, t,
+                is_valid, intM, rays2d).astype(src_feat.dtype)
+            zero = lambda a: jnp.zeros_like(a)
+            return (zero(d_center).astype(res[0].dtype), grad_ref,
+                    grad_src, zero(R), zero(t), zero(is_valid),
+                    zero(intM), zero(rays2d))
     c_rows = _sweep_bwd_rows(H)
     win = 2 * c_rows
     n_pairs = H // 2
