@@ -449,7 +449,8 @@ def cost_volume_sweep(d_center: jnp.ndarray, ref_feat: jnp.ndarray,
         # runtime's execution limit, crashing the worker). Small shapes
         # only; the default path below fixes this.
         cost = _sweep_pre_cost_impl(d_center, ref_feat, src_feat, R, t,
-                                    is_valid, intM, rays2d)
+                                    is_valid, intM, rays2d,
+                                    allow_kernel=False)
     else:
         cost = _sweep_pre_cost(d_center, ref_feat, src_feat, R, t,
                                is_valid, intM, rays2d)
@@ -466,11 +467,20 @@ def _sweep_matching_dtype(src_feat):
 
 
 def _sweep_pre_cost_impl(d_center, ref_feat, src_feat, R, t, is_valid,
-                         intM, rays2d):
+                         intM, rays2d, allow_kernel: bool = True):
     """Pre-softmax sweep cost (B, D, H, W) f32 = sum over valid views of
     the per-view matching cost (NOT yet divided by V).
 
-    Memory shape: the corner-block gather materializes
+    Kernel route: with the consistency check disabled (mu = 0,
+    sigma = 1e30 -> |z| < kappa*sigma always true for in-image samples;
+    out-of-image samples interpolate sigma to 0 and zero out, exactly
+    the gather path's zero-padding), ``cost_volume_cw`` IS the sweep
+    pre-cost times 1/V — so on TPU the fixed sweep rides the SAME fused
+    Pallas cost-volume kernels (and exactness ladder) as the
+    consistency-weighted volume. ``allow_kernel=False`` (the autodiff
+    escape path) keeps the differentiable gather.
+
+    Gather-path memory shape: the corner-block gather materializes
     (d, H, W, 2, 2, C) in f32 before the contraction. At the F-Net
     TRAINING shape (D=80 sweep planes, 120x160, C=64) a fully vmapped
     (B, V, D) evaluation transiently allocates ~25 GB and fails HBM
@@ -484,6 +494,17 @@ def _sweep_pre_cost_impl(d_center, ref_feat, src_feat, R, t, is_valid,
     f32 = jnp.float32
     d_center = d_center.astype(f32)
     mdt = _sweep_matching_dtype(src_feat)
+
+    # MEASURED DEAD-END (round 5, kept as a note): routing this forward
+    # through the CW Pallas kernels (mu = 0, sigma = 1e30 disables the
+    # consistency check — the identity is real and pinned by
+    # tests/test_costvolume.py::test_sweep_forward_rides_cw_kernel)
+    # cannot compile at the sweep's D = 80: the kernels scalar-prefetch
+    # their per-(d, tile[, pair]) plan arrays into SMEM, and at D = 80
+    # the request measured 5 MB against the 1 MB scalar space — with
+    # the tall rungs excluded AND banded nb == 1 rungs only, alike. The
+    # chunked gather below stays the forward; `allow_kernel` is kept
+    # for a future kernel whose plans ride VMEM instead of SMEM.
 
     env_chunk = os.environ.get("MAGNET_TPU_SWEEP_CHUNK", "")
     if env_chunk:

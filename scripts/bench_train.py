@@ -141,8 +141,12 @@ def main_stage2():
     1+V frames, 80-bin SID plane sweep, L1 on soft-argmax)."""
     from bench import example_inputs
     from magnet_tpu.models.magnet import MagnetF, sid_depth_centers
+    from magnet_tpu.ops import costvolume
     from magnet_tpu.train import optim, steps
 
+    # single-chip bench: the sweep forward rides the batched Pallas CV
+    # kernels (train_FNet.py declares the same at mesh size 1)
+    costvolume.set_batched_kernel_default(True)
     Bc = 2
     d_center = sid_depth_centers(1e-3, 10.0, 80)
     # --remat (the TPU extension train_FNet.py exposes) is REQUIRED at

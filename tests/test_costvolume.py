@@ -271,3 +271,37 @@ def test_sweep_bwd_pallas_supported_gate():
     assert not swb.supported(120, 150, 64)      # chunk misaligned
     assert not swb.supported(12, 160, 64)       # window > image
     assert not swb.supported(120, 160, 127)     # channel overflow
+
+
+def test_sweep_forward_rides_cw_kernel():
+    """The TPU sweep forward routes through cost_volume_cw with the
+    consistency check disabled (mu=0, sigma=1e30): verify the identity
+    — the Pallas CW kernel (interpret) with those dummies equals the
+    sweep gather path's pre-softmax cost to bf16-weight tolerance."""
+    from magnet_tpu.kernels.costvolume_pallas import cost_volume_cw_pallas
+    from magnet_tpu.ops.costvolume import _sweep_pre_cost_impl
+
+    rng = np.random.RandomState(7)
+    s = _setup(rng, B=1, V=2, D=5, H=16, W=32, C=8)
+    B, V, D, H, W, C = s["dims"]
+    d_center = jnp.asarray(np.linspace(1.0, 4.0, D).astype(np.float32))
+    ref = jnp.asarray(s["ref_feat"].astype(np.float32))
+    src = jnp.asarray(s["src_feat"].astype(np.float32))
+    args = tuple(jnp.asarray(a.astype(np.float32)) for a in (
+        s["Rs"], s["ts"], s["is_valid"], s["intM"], s["rays_b"]))
+
+    want = np.asarray(_sweep_pre_cost_impl(
+        d_center, ref, src, *args, allow_kernel=False))   # (B, D, H, W)
+
+    dvol = jnp.broadcast_to(d_center[None, None, None, :], (B, H, W, D))
+    mu = jnp.zeros((B, V, H, W), jnp.float32)
+    sigma = jnp.full((B, V, H, W), 1e30, jnp.float32)
+    cw = cost_volume_cw_pallas(dvol, ref, src, mu, sigma, *args, 1.0,
+                               interpret=True)            # (B, H, W, D)
+    got = np.moveaxis(np.asarray(cw), -1, 1) * V
+    assert np.abs(want).max() > 0.01
+    # atol 5e-5: the kernel's weight-pattern contraction and the gather
+    # path's einsum associate the f32 sums differently (one element at
+    # 2.6e-5 in this fixture); the CW kernel itself is pinned against
+    # the XLA corner-block path at 2e-6 elsewhere.
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)

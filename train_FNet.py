@@ -53,6 +53,11 @@ def main():
     config.save_args(args, f"{args.exp_log_dir}/params.txt")
 
     mesh = mesh_lib.mesh_from_args(args)
+    # Single-device training routes the fixed-sweep forward through the
+    # batched Pallas cost-volume kernels (ops/costvolume.py
+    # _sweep_pre_cost_impl); same engagement policy as train_MaGNet.
+    from magnet_tpu.ops import costvolume
+    costvolume.set_batched_kernel_default(mesh.size == 1)
     train_loader = make_multiview_loader(args,
                                          _TRAIN_MODES[args.dataset_name])
     val_loader = make_multiview_loader(args, _VAL_MODES[args.dataset_name])
