@@ -34,7 +34,13 @@ _SEED_DIR = os.path.join(
 def seed_compilation_cache(cache_dir: str,
                            seed_dir: str | None = None) -> int:
     """Copy committed cache entries into the live cache dir (skip ones
-    already present). Returns the number of entries copied."""
+    already present). Returns the number of entries copied.
+    MAGNET_TPU_CACHE_SEED=0 disables (scripts/refresh_cache_seed.py
+    sets it so the regenerated seed contains ONLY the current
+    program's entries and the measured wall-clock is a true cold
+    start)."""
+    if os.environ.get("MAGNET_TPU_CACHE_SEED", "1") == "0":
+        return 0
     src = seed_dir or _SEED_DIR
     n = 0
     try:

@@ -28,6 +28,8 @@ def main():
     tmp = tempfile.mkdtemp(prefix="magnet_tpu_seedgen_")
     env = dict(os.environ)
     env["MAGNET_TPU_CACHE_DIR"] = tmp
+    env["MAGNET_TPU_CACHE_SEED"] = "0"   # true cold start; no stale
+    #                                      entries carried into the seed
     t0 = time.time()
     proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                           env=env, cwd=REPO)
