@@ -31,11 +31,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TILE_CHOICES = (24, 22, 20, 16, 15, 12, 10, 8)
+# Scoped-VMEM budget for _vmem_est below, calibrated on v5e (round 5):
+# KITTI (88 x 304) at tile 22 fails compile at 17.0 MB actual
+# (est 19.0 MB); tile 8 (est 11.4 MB) compiles and runs. ScanNet
+# (120 x 160) keeps tile 24 (est 12.0 MB).
+_VMEM_BUDGET = 13.5e6
 
 
-def _tile_h(H: int):
+def _vmem_est(H: int, W: int, tile: int, itemsize: int) -> float:
+    """Resident padded cv + double-buffered feat blocks + the f32
+    acc/h temporaries + the halo row slice."""
+    return ((H + 2) * (W + 2) * 128 * itemsize
+            + 2 * tile * W * 128 * itemsize
+            + 2 * tile * W * 128 * 4
+            + tile * (W + 2) * 128 * itemsize)
+
+
+def _tile_h(H: int, W: int = 160, itemsize: int = 2):
+    """Largest dividing row tile whose VMEM estimate fits the budget —
+    wide shapes (KITTI) take smaller tiles instead of failing the
+    scoped-VMEM compile (a latent round-4 defect: the whole-map
+    resident cv left <2 MB of headroom at 304-wide maps)."""
     for t in _TILE_CHOICES:
-        if H % t == 0:
+        if H % t == 0 and _vmem_est(H, W, t, itemsize) <= _VMEM_BUDGET:
             return t
     return None
 
@@ -110,8 +128,8 @@ def gnet_update_pallas(cv: jnp.ndarray, feat_contrib: jnp.ndarray,
     GNet.precompute_feature; prev: (B, H, W, 2) current (mu, sigma).
     params: GNet param tree. Returns (B, H, W, 2), dtype of prev."""
     B, H, W, D = cv.shape
-    tile = _tile_h(H)
     dt = feat_contrib.dtype
+    tile = _tile_h(H, W, jnp.dtype(dt).itemsize)
     w0, ws, bs = pack_gnet(params, D, dt)
 
     # Cost volume lane-padded to 128 and spatially padded for the 3x3:
@@ -145,8 +163,5 @@ def gnet_update_pallas(cv: jnp.ndarray, feat_contrib: jnp.ndarray,
 
 def supported(cv_shape, hidden: int, itemsize: int = 2) -> bool:
     B, H, W, D = cv_shape
-    if _tile_h(H) is None or D > 16 or hidden != 128:
-        return False
-    vmem = ((H + 2) * (W + 2) * 128 * itemsize      # padded cv
-            + 12 * 128 * 128 * itemsize)            # weights
-    return vmem <= 10 * 1024 * 1024
+    return (_tile_h(H, W, itemsize) is not None and D <= 16
+            and hidden == 128)
