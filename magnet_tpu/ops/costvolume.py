@@ -166,7 +166,17 @@ def ladder_steps(H: int, W: int, V: int, itemsize: int = 2):
     # costs ~4x bf16 per MAC, and the measured r16/r24 tall rungs land
     # SLOWER than the XLA gather path (6.74/8.64 vs 5.04 ms at the
     # ScanNet V=2 f32 shape) — only the narrowest window stays ahead.
-    tall_rows = (8,) if itemsize >= 4 else (8, 16, 24)
+    # Wide maps (KITTI W=304, round-5 measurement): the r16 window's
+    # per-pair chunk scales with W and the rung lands BELOW the full
+    # XLA escalation (23.4 vs 24.1 fps end-to-end), so escalating
+    # straight to XLA is faster than running it — wide shapes keep
+    # only the 16-row window (30.2 fps rung).
+    if itemsize >= 4:
+        tall_rows = (8,)
+    elif W > 240:
+        tall_rows = (8,)
+    else:
+        tall_rows = (8, 16, 24)
     tall = [r for r in tall_rows if H > band
             and cvp.tall_supported(H, W, r, nb, itemsize)]
     if pair and tall:
