@@ -279,16 +279,18 @@ def test_ladder_steps_defaults():
     assert ladder_steps(120, 160, 4) == (
         (True, 16, 4, 1), (True, 120, 8, 4), (True, 120, 16, 4),
         (True, 120, 24, 4))
-    # KITTI width: 304/4 = 76 is not 8-sublane aligned -> 2 blocks; the
-    # 48-row window's weight build busts the VMEM ceiling (measured
-    # compile failure) so escalation tops out at the 32-row window
+    # KITTI width: 304/4 = 76 is not 8-sublane aligned -> 2 blocks; and
+    # wide maps (W > 240) keep ONLY the 16-row window — the 32-row tall
+    # rung measured 23.4 fps end-to-end, BELOW the full XLA escalation
+    # (24.2), so escalating straight to XLA beats running it
+    # (benchmarks/bench_motion_kitti.json, round 5)
     assert ladder_steps(88, 304, 2) == (
-        (True, 16, 4, 1), (True, 88, 8, 2), (True, 88, 16, 2))
+        (True, 16, 4, 1), (True, 88, 8, 2))
     # the tall slab is VIEW-INDEPENDENT (one resident map), so V=4 at
     # KITTI width — which excluded every V-resident banded rung — now
-    # escalates through the same tall rungs
+    # escalates through the same (width-pruned) tall rung
     assert ladder_steps(88, 304, 4) == (
-        (True, 16, 4, 1), (True, 88, 8, 2), (True, 88, 16, 2))
+        (True, 16, 4, 1), (True, 88, 8, 2))
     assert ladder_steps(16, 16, 2) == ((True, 16, 4, 1),)
     # f32 matching (--compute_dtype float32): only the 16-row window
     # stays ahead of the exact XLA path (see ladder_steps docstring)
