@@ -126,7 +126,11 @@ def main_stage1():
              "batch_stats": variables["batch_stats"]}, tx,
             seed=0)
 
-    per_step = _timing_harness(step_fn, make_state, batch)
+    # light per-step cost at this stage: more in-jit iterations so the
+    # 1-vs-N delta clears the fresh-TrainState transfer noise (a 4-step
+    # loop once printed 887 samples/s at the KITTI shape — pure noise)
+    per_step = _timing_harness(step_fn, make_state, batch, n_loop=12,
+                               reps=4)
     print(json.dumps({
         "metric": "dnet_%s_train_step" % ("kitti" if V == 2 else
                                           "scannet"),
